@@ -1,0 +1,171 @@
+"""2D ball Green's functions (harmonic and Yukawa/screened) for walk-on-stars.
+
+Re-derivation of zombie's `HarmonicGreensFnBall<2>` / `YukawaGreensFnBall<2>`
+(reference: bindings/zombie/include/zombie/core/distributions.h:397-474,
+573-696) in scaled-Bessel form so everything is float32-safe on TPU: with
+z = sqrt(lam)*r and Z = sqrt(lam)*R, ratios like K0(Z)/I0(Z) are computed as
+(k0e(Z)/i0e(Z)) * exp(-2Z) and cross terms carry exp(2z-2Z) <= 1 factors.
+
+Every function is elementwise over a batch of walker lanes: `ball` is a
+pytree of per-lane precomputed radius terms.
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .bessel import i0e, i1e, k0e, k1e
+
+TWO_PI = 2.0 * jnp.pi
+R_CLAMP = 1e-4  # distributions.h rClamp default
+
+
+class Ball(NamedTuple):
+    """Per-lane ball parameters. Yukawa fields are zeros for harmonic balls."""
+    R: jax.Array
+    Z: jax.Array        # sqrt(lam) * R
+    i0e_R: jax.Array
+    i1e_R: jax.Array
+    k0e_R: jax.Array
+    k1e_R: jax.Array
+
+
+# ----------------------------------------------------------------- harmonic
+
+class Harmonic2D:
+    """G(r) = log(R/r)/2pi on a ball of radius R (distributions.h:397-474)."""
+    dim = 2
+    screened = False
+
+    @staticmethod
+    def make_ball(R, sqrt_lam=None):
+        z = jnp.zeros_like(R)
+        return Ball(R=R, Z=z, i0e_R=z, i1e_R=z, k0e_R=z, k1e_R=z)
+
+    @staticmethod
+    def eval(ball, r):
+        return jnp.log(ball.R / r) / TWO_PI
+
+    @staticmethod
+    def norm(ball):
+        return ball.R * ball.R / 4.0
+
+    @staticmethod
+    def dspk(ball, r):
+        # directionSampledPoissonKernel == 1: throughput is preserved
+        return jnp.ones_like(r)
+
+    @staticmethod
+    def pk_over_uniform(ball):
+        # poissonKernel()/pdfSampleSphereUniform(1) == 1
+        return jnp.ones_like(ball.R)
+
+    @staticmethod
+    def pk_grad_coeff(ball):
+        # poissonKernelGradient = coeff * (ySurf - c);  2d/(2pi R^2)
+        return 2.0 / (TWO_PI * ball.R * ball.R)
+
+    @staticmethod
+    def grad_norm(ball, r):
+        return (1.0 / (r * r) - 1.0 / (ball.R * ball.R)) / TWO_PI
+
+    @staticmethod
+    def radial_pdf(ball, r):
+        # pdf of the sampled radius = [eval/norm] * 2*pi*r  (marginal over angle)
+        return 4.0 * r * jnp.log(ball.R / r) / (ball.R * ball.R)
+
+    @staticmethod
+    def rejection_bound(ball):
+        return 1.5 / ball.R
+
+    @staticmethod
+    def sample_radius(ball, key, rounds: int = 16):
+        return sample_radius_rejection(Harmonic2D, ball, key, rounds)
+
+
+# ------------------------------------------------------------------- yukawa
+
+class Yukawa2D:
+    """Screened G on a ball: (K0(z) - I0(z)K0(Z)/I0(Z))/2pi, z=sqrt(lam)r."""
+    dim = 2
+    screened = True
+
+    def __init__(self, lam):
+        self.lam = float(lam)
+        self.sqrt_lam = float(jnp.sqrt(lam))
+
+    def make_ball(self, R):
+        Z = self.sqrt_lam * R
+        return Ball(R=R, Z=Z, i0e_R=i0e(Z), i1e_R=i1e(Z),
+                    k0e_R=k0e(Z), k1e_R=k1e(Z))
+
+    def _cross(self, ball, z):
+        # exp(2z - 2Z) factor carried by I(z)*K(Z)/I(Z) cross terms; z<=Z so <=1
+        return jnp.exp(2.0 * (z - ball.Z))
+
+    def eval(self, ball, r):
+        z = self.sqrt_lam * r
+        q = k0e(z) - i0e(z) * (ball.k0e_R / ball.i0e_R) * self._cross(ball, z)
+        return jnp.exp(-z) * q / TWO_PI
+
+    def norm(self, ball):
+        # (1 - 2pi*poissonKernel)/lam, poissonKernel = 1/(2pi I0(Z))
+        return (1.0 - jnp.exp(-ball.Z) / ball.i0e_R) / self.lam
+
+    def dspk(self, ball, r):
+        # z*(K1(z) + I1(z)K0(Z)/I0(Z)) — per-step throughput multiplier
+        r = jnp.maximum(r, R_CLAMP)
+        z = self.sqrt_lam * r
+        q = k1e(z) + i1e(z) * (ball.k0e_R / ball.i0e_R) * self._cross(ball, z)
+        return z * jnp.exp(-z) * q
+
+    def pk_over_uniform(self, ball):
+        # (1/(2pi I0(Z))) / (1/2pi) = 1/I0(Z)
+        return jnp.exp(-ball.Z) / ball.i0e_R
+
+    def pk_grad_coeff(self, ball):
+        # poissonKernelGradient = d * sqrt(lam)/(2pi R I1(Z))
+        return self.sqrt_lam * jnp.exp(-ball.Z) / (TWO_PI * ball.R * ball.i1e_R)
+
+    def grad_norm(self, ball, r):
+        z = self.sqrt_lam * r
+        q = k1e(z) - i1e(z) * (ball.k1e_R / ball.i1e_R) * self._cross(ball, z)
+        return self.sqrt_lam * jnp.exp(-z) * q / (TWO_PI * r)
+
+    def radial_pdf(self, ball, r):
+        return self.eval(ball, r) * TWO_PI * r / self.norm(ball)
+
+    def rejection_bound(self, ball):
+        # distributions.h:594-596 empirical envelope of the radial pdf
+        R, lam, slam = ball.R, self.lam, self.sqrt_lam
+        sR = jnp.sqrt(R)
+        lo = jnp.where(R <= lam,
+                       jnp.maximum(2.2 / R, 2.2 / lam),
+                       jnp.minimum(2.2 / R, 2.2 / lam))
+        hi = jnp.where(R <= lam,
+                       jnp.maximum(0.6 * sR, 0.6 * slam),
+                       jnp.minimum(0.6 * sR, 0.6 * slam))
+        return jnp.maximum(lo, hi)
+
+    def sample_radius(self, ball, key, rounds: int = 16):
+        return sample_radius_rejection(self, ball, key, rounds)
+
+
+def sample_radius_rejection(greens, ball, key, rounds: int = 16):
+    """Sample the in-ball radius from the Green's-fn radial density.
+
+    Mirrors GreensFnBall::rejectionSampleGreensFn (distributions.h:362-383):
+    uniform proposal on (0, R), accept with prob radial_pdf/bound; the last
+    draw is kept if no round accepts (the reference caps at 1000 iters and
+    keeps the final sample as well). Returns (r, eval_at_r).
+    """
+    R = ball.R
+    bound = greens.rejection_bound(ball)
+    u = jax.random.uniform(key, (2, rounds) + R.shape)
+    rs = jnp.maximum(u[1] * R[None], R_CLAMP)
+    pdf_r = greens.radial_pdf(jax.tree.map(lambda a: a[None], ball), rs)
+    acc = u[0] < pdf_r / bound[None]
+    idx = jnp.where(jnp.any(acc, axis=0), jnp.argmax(acc, axis=0), rounds - 1)
+    r = jnp.take_along_axis(rs, idx[None], axis=0)[0]
+    r = jnp.where(r > R, R / 2.0, jnp.maximum(r, R_CLAMP))
+    return r, greens.eval(ball, r)

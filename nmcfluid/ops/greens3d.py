@@ -1,0 +1,160 @@
+"""3D ball Green's functions (harmonic and Yukawa/screened) for walk-on-stars.
+
+Re-derivation of zombie's `HarmonicGreensFnBall<3>` / `YukawaGreensFnBall<3>`
+(reference: bindings/zombie/include/zombie/core/distributions.h:477-561,
+698-832). The 3D screened kernels are elementary (exp/sinh); we use the
+exponentially-scaled forms
+
+    sh_e(z) = e^{-z} sinh z = (1 - e^{-2z})/2
+    K32e(z) = e^{z} K_{3/2}-type term = 1 + 1/z
+    I32e(z) = e^{-z} I_{3/2}-type term = ch_e(z) - sh_e(z)/z
+
+so nothing overflows in float32 for large sqrt(lam)*R.
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+FOUR_PI = 4.0 * jnp.pi
+R_CLAMP = 1e-4
+
+
+def _sh_e(z):
+    return (1.0 - jnp.exp(-2.0 * z)) / 2.0
+
+
+def _ch_e(z):
+    return (1.0 + jnp.exp(-2.0 * z)) / 2.0
+
+
+def _k32e(z):
+    return 1.0 + 1.0 / z
+
+
+def _i32e(z):
+    return _ch_e(z) - _sh_e(z) / z
+
+
+class Ball(NamedTuple):
+    R: jax.Array
+    Z: jax.Array
+    sh_e_R: jax.Array
+    k32e_R: jax.Array
+    i32e_R: jax.Array
+
+
+class Harmonic3D:
+    """G(r) = (1/r - 1/R)/4pi on a ball (distributions.h:477-561)."""
+    dim = 3
+    screened = False
+
+    @staticmethod
+    def make_ball(R, sqrt_lam=None):
+        z = jnp.zeros_like(R)
+        return Ball(R=R, Z=z, sh_e_R=z, k32e_R=z, i32e_R=z)
+
+    @staticmethod
+    def eval(ball, r):
+        return (1.0 / r - 1.0 / ball.R) / FOUR_PI
+
+    @staticmethod
+    def norm(ball):
+        return ball.R * ball.R / 6.0
+
+    @staticmethod
+    def dspk(ball, r):
+        return jnp.ones_like(r)
+
+    @staticmethod
+    def pk_over_uniform(ball):
+        return jnp.ones_like(ball.R)
+
+    @staticmethod
+    def pk_grad_coeff(ball):
+        # poissonKernelGradient = 3 d / (4pi R^2), d = ySurf - c
+        return 3.0 / (FOUR_PI * ball.R * ball.R)
+
+    @staticmethod
+    def grad_norm(ball, r):
+        return (1.0 / (r * r * r) - 1.0 / (ball.R ** 3)) / FOUR_PI
+
+    @staticmethod
+    def radial_pdf(ball, r):
+        # [eval/norm] * 4 pi r^2 = 6 r (R - r) / R^3
+        return 6.0 * r * (ball.R - r) / (ball.R ** 3)
+
+    @staticmethod
+    def sample_radius(ball, key):
+        """Ulrich's polar method, closed form (distributions.h:483-496)."""
+        u = jax.random.uniform(key, (2,) + ball.R.shape)
+        phi = 2.0 * jnp.pi * u[1]
+        r = (1.0 + jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.cbrt(u[0] * u[0])))
+             * jnp.cos(phi)) * ball.R / 2.0
+        r = jnp.maximum(r, R_CLAMP)
+        r = jnp.where(r > ball.R, ball.R / 2.0, r)
+        return r, Harmonic3D.eval(ball, r)
+
+
+class Yukawa3D:
+    dim = 3
+    screened = True
+
+    def __init__(self, lam):
+        self.lam = float(lam)
+        self.sqrt_lam = float(jnp.sqrt(lam))
+
+    def make_ball(self, R):
+        Z = self.sqrt_lam * R
+        return Ball(R=R, Z=Z, sh_e_R=_sh_e(Z), k32e_R=_k32e(Z),
+                    i32e_R=_i32e(Z))
+
+    def _cross(self, ball, z):
+        return jnp.exp(2.0 * (z - ball.Z))
+
+    def eval(self, ball, r):
+        # (e^{-z} - e^{-Z} sinh z / sinh Z)/(4 pi r)
+        z = self.sqrt_lam * r
+        q = 1.0 - (_sh_e(z) / ball.sh_e_R) * self._cross(ball, z)
+        return jnp.exp(-z) * q / (FOUR_PI * r)
+
+    def norm(self, ball):
+        # (1 - 4pi*poissonKernel)/lam, poissonKernel = Z/(4pi sinh Z)
+        return (1.0 - ball.Z * jnp.exp(-ball.Z) / ball.sh_e_R) / self.lam
+
+    def dspk(self, ball, r):
+        r = jnp.maximum(r, R_CLAMP)
+        z = self.sqrt_lam * r
+        q = _k32e(z) + _i32e(z) * self._cross(ball, z) / ball.sh_e_R
+        return z * jnp.exp(-z) * q
+
+    def pk_over_uniform(self, ball):
+        return ball.Z * jnp.exp(-ball.Z) / ball.sh_e_R
+
+    def pk_grad_coeff(self, ball):
+        # poissonKernelGradient = d * lam/(4pi I32(Z))
+        return self.lam * jnp.exp(-ball.Z) / (FOUR_PI * ball.i32e_R)
+
+    def grad_norm(self, ball, r):
+        z = self.sqrt_lam * r
+        q = _k32e(z) - _i32e(z) * (ball.k32e_R / ball.i32e_R) * self._cross(ball, z)
+        return self.sqrt_lam * jnp.exp(-z) * q / (FOUR_PI * r * r)
+
+    def radial_pdf(self, ball, r):
+        return self.eval(ball, r) * FOUR_PI * r * r / self.norm(ball)
+
+    def rejection_bound(self, ball):
+        # distributions.h:721-723
+        R, lam, slam = ball.R, self.lam, self.sqrt_lam
+        sR = jnp.sqrt(R)
+        lo = jnp.where(R <= lam,
+                       jnp.maximum(2.0 / R, 2.0 / lam),
+                       jnp.minimum(2.0 / R, 2.0 / lam))
+        hi = jnp.where(R <= lam,
+                       jnp.maximum(0.5 * sR, 0.5 * slam),
+                       jnp.minimum(0.5 * sR, 0.5 * slam))
+        return jnp.maximum(lo, hi)
+
+    def sample_radius(self, ball, key, rounds: int = 16):
+        from .greens2d import sample_radius_rejection
+        return sample_radius_rejection(self, ball, key, rounds)

@@ -1,0 +1,165 @@
+"""Green's-function modules vs closed forms and double-precision references.
+
+Reference formulas: bindings/zombie/include/zombie/core/distributions.h.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.special as sp
+
+from nmcfluid.ops import greens2d, greens3d
+
+
+def _np_yukawa2d_ball(lam, R, r):
+    mu = np.sqrt(lam)
+    G = (sp.k0(mu * r) - sp.i0(mu * r) * sp.k0(mu * R) / sp.i0(mu * R))
+    return G / (2 * np.pi)
+
+
+def _np_yukawa3d_ball(lam, R, r):
+    mu = np.sqrt(lam)
+    G = np.exp(-mu * r) - np.exp(-mu * R) * np.sinh(mu * r) / np.sinh(mu * R)
+    return G / (4 * np.pi * r)
+
+
+@pytest.mark.parametrize("lam", [1.0, 350.0])
+def test_yukawa2d_matches_double(lam):
+    g = greens2d.Yukawa2D(lam)
+    R = np.float32(0.37)
+    r = np.linspace(0.01, R, 64, dtype=np.float32)
+    ball = g.make_ball(jnp.full_like(jnp.asarray(r), R))
+    got = np.asarray(g.eval(ball, jnp.asarray(r)))
+    want = _np_yukawa2d_ball(lam, np.float64(R), r.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-7)
+
+    # dspk vs double: z*(K1 + I1*K0(Z)/I0(Z))
+    mu = np.sqrt(lam)
+    z = mu * r.astype(np.float64)
+    Z = mu * np.float64(R)
+    want_dspk = z * (sp.k1(z) + sp.i1(z) * sp.k0(Z) / sp.i0(Z))
+    got_dspk = np.asarray(g.dspk(ball, jnp.asarray(r)))
+    np.testing.assert_allclose(got_dspk, want_dspk, rtol=5e-4)
+
+    # dspk at r=R equals sphere-area * poissonKernel (Wronskian identity)
+    np.testing.assert_allclose(got_dspk[-1],
+                               np.asarray(g.pk_over_uniform(ball))[-1],
+                               rtol=5e-4)
+
+
+def test_yukawa2d_large_muR_finite():
+    # mu*R ~ 165: I0 overflows unscaled; everything here must stay finite
+    g = greens2d.Yukawa2D(350.0)
+    R = jnp.asarray([8.8], dtype=jnp.float32)
+    ball = g.make_ball(R)
+    r = jnp.asarray([4.0], dtype=jnp.float32)
+    for v in (g.eval(ball, r), g.dspk(ball, r), g.norm(ball),
+              g.pk_over_uniform(ball), g.pk_grad_coeff(ball),
+              g.grad_norm(ball, r)):
+        assert np.all(np.isfinite(np.asarray(v)))
+    # deep in the screened regime the ball kernel approaches free space
+    mu = np.sqrt(350.0)
+    free = sp.k0(mu * 4.0) / (2 * np.pi)
+    np.testing.assert_allclose(np.asarray(g.eval(ball, r))[0], free,
+                               rtol=1e-3)
+
+
+@pytest.mark.parametrize("lam", [1.0, 350.0])
+def test_yukawa3d_matches_double(lam):
+    g = greens3d.Yukawa3D(lam)
+    R = np.float32(0.53)
+    r = np.linspace(0.01, R * 0.999, 64, dtype=np.float32)
+    ball = g.make_ball(jnp.full_like(jnp.asarray(r), R))
+    got = np.asarray(g.eval(ball, jnp.asarray(r)))
+    want = _np_yukawa3d_ball(lam, np.float64(R), r.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-7)
+
+
+@pytest.mark.parametrize("make", [
+    lambda: (greens2d.Harmonic2D, 2),
+    lambda: (greens2d.Yukawa2D(25.0), 2),
+    lambda: (greens3d.Harmonic3D, 3),
+    lambda: (greens3d.Yukawa3D(25.0), 3),
+])
+def test_norm_is_ball_integral(make):
+    # norm() must equal the integral of G over the ball: MC-check it
+    g, dim = make()
+    R = 0.8
+    n = 200_000
+    rng = np.random.default_rng(0)
+    if dim == 2:
+        pts = rng.uniform(-R, R, (n, 2))
+        pts = pts[np.linalg.norm(pts, axis=1) < R]
+        vol = np.pi * R * R
+    else:
+        pts = rng.uniform(-R, R, (n, 3))
+        pts = pts[np.linalg.norm(pts, axis=1) < R]
+        vol = 4 / 3 * np.pi * R ** 3
+    r = jnp.asarray(np.linalg.norm(pts, axis=1), dtype=jnp.float32)
+    ball = g.make_ball(jnp.full_like(r, R))
+    vals = np.asarray(g.eval(ball, r))
+    integral = vals.mean() * vol
+    want = float(np.asarray(g.norm(jax.tree.map(lambda a: a[:1], ball)))[0])
+    np.testing.assert_allclose(integral, want, rtol=2e-2)
+
+
+@pytest.mark.parametrize("make", [
+    lambda: (greens2d.Harmonic2D, 2),
+    lambda: (greens2d.Yukawa2D(350.0), 2),
+    lambda: (greens3d.Harmonic3D, 3),
+    lambda: (greens3d.Yukawa3D(350.0), 3),
+])
+def test_sample_radius_distribution(make):
+    # sampled radii must follow radial_pdf: compare mean r against quadrature
+    g, dim = make()
+    R = 0.3
+    n = 60_000
+    key = jax.random.PRNGKey(1)
+    ball = g.make_ball(jnp.full((n,), R, dtype=jnp.float32))
+    r, _ = g.sample_radius(ball, key)
+    r = np.asarray(r)
+    assert np.all(r > 0) and np.all(r <= R)
+    rr = np.linspace(1e-4, R - 1e-6, 20_000, dtype=np.float32)
+    pdf = np.asarray(g.radial_pdf(
+        g.make_ball(jnp.full_like(jnp.asarray(rr), R)), jnp.asarray(rr)))
+    pdf_int = np.trapezoid(pdf, rr)
+    np.testing.assert_allclose(pdf_int, 1.0, rtol=2e-2)
+    want_mean = np.trapezoid(rr * pdf, rr) / pdf_int
+    np.testing.assert_allclose(r.mean(), want_mean, rtol=2e-2)
+
+
+def test_grad_norm_matches_double():
+    # zombie's ball gradient() = (y-c)*gradientNorm is the gradient w.r.t.
+    # the pole (it includes the image term), distributions.h:634-647,760-772.
+    # Check the f32 scaled forms against f64 transcriptions of those formulas.
+    lam = 350.0
+    mu = np.sqrt(lam)
+    R = np.float64(0.25)
+    r = np.linspace(0.03, 0.2, 32)
+    z, Z = mu * r, mu * R
+
+    g2 = greens2d.Yukawa2D(lam)
+    ball2 = g2.make_ball(jnp.full((32,), np.float32(R)))
+    want2 = mu * (sp.k1(z) - sp.i1(z) * sp.k1(Z) / sp.i1(Z)) / (2 * np.pi * r)
+    got2 = np.asarray(g2.grad_norm(ball2, jnp.asarray(r, dtype=jnp.float32)))
+    np.testing.assert_allclose(got2, want2, rtol=1e-3)
+
+    g3 = greens3d.Yukawa3D(lam)
+    ball3 = g3.make_ball(jnp.full((32,), np.float32(R)))
+    k32 = np.exp(-z) * (1 + 1 / z)
+    i32 = np.cosh(z) - np.sinh(z) / z
+    K32Z = np.exp(-Z) * (1 + 1 / Z)
+    I32Z = np.cosh(Z) - np.sinh(Z) / Z
+    want3 = mu * (k32 - i32 * K32Z / I32Z) / (4 * np.pi * r * r)
+    got3 = np.asarray(g3.grad_norm(ball3, jnp.asarray(r, dtype=jnp.float32)))
+    np.testing.assert_allclose(got3, want3, rtol=1e-3)
+
+    # harmonic closed forms
+    b2 = greens2d.Harmonic2D.make_ball(jnp.full((32,), np.float32(R)))
+    np.testing.assert_allclose(
+        np.asarray(greens2d.Harmonic2D.grad_norm(b2, jnp.asarray(r, dtype=jnp.float32))),
+        (1 / r**2 - 1 / R**2) / (2 * np.pi), rtol=1e-4)
+    b3 = greens3d.Harmonic3D.make_ball(jnp.full((32,), np.float32(R)))
+    np.testing.assert_allclose(
+        np.asarray(greens3d.Harmonic3D.grad_norm(b3, jnp.asarray(r, dtype=jnp.float32))),
+        (1 / r**3 - 1 / R**3) / (4 * np.pi), rtol=1e-4)
