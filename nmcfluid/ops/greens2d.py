@@ -9,6 +9,7 @@ z = sqrt(lam)*r and Z = sqrt(lam)*R, ratios like K0(Z)/I0(Z) are computed as
 Every function is elementwise over a batch of walker lanes: `ball` is a
 pytree of per-lane precomputed radius terms.
 """
+import math
 from typing import NamedTuple
 
 import jax
@@ -79,8 +80,20 @@ class Harmonic2D:
         return 1.5 / ball.R
 
     @staticmethod
-    def sample_radius(ball, key, rounds: int = 16):
-        return sample_radius_rejection(Harmonic2D, ball, key, rounds)
+    def sample_radius(ball, key, rounds: int = 0):
+        """Inverse-CDF draw of the radius (see ops.radial_tables)."""
+        from . import radial_tables as rt
+        global _H2D_TABLE
+        if _H2D_TABLE is None:
+            # numpy on purpose: a jnp constant created under one trace
+            # would leak into later traces via this cache
+            _H2D_TABLE = rt.build_harmonic2d_table().astype("float32")
+        t = rt.sample_t_harmonic2d(_H2D_TABLE, ball.R.shape, key)
+        r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
+        return r, Harmonic2D.eval(ball, r)
+
+
+_H2D_TABLE = None
 
 
 # ------------------------------------------------------------------- yukawa
@@ -92,7 +105,9 @@ class Yukawa2D:
 
     def __init__(self, lam):
         self.lam = float(lam)
-        self.sqrt_lam = float(jnp.sqrt(lam))
+        self.sqrt_lam = math.sqrt(float(lam))
+        from . import radial_tables as rt
+        self._table = rt.build_table(2).astype("float32")  # numpy: trace-safe
 
     def make_ball(self, R):
         Z = self.sqrt_lam * R
@@ -147,8 +162,14 @@ class Yukawa2D:
                        jnp.minimum(0.6 * sR, 0.6 * slam))
         return jnp.maximum(lo, hi)
 
-    def sample_radius(self, ball, key, rounds: int = 16):
-        return sample_radius_rejection(self, ball, key, rounds)
+    def sample_radius(self, ball, key, rounds: int = 0):
+        """Inverse-CDF draw (table over Z = sqrt(lam)*R): replaces the
+        reference's loose-envelope rejection, whose acceptance collapses
+        at the fluid's sigma=350 on scene-sized balls."""
+        from . import radial_tables as rt
+        t = rt.sample_t_screened(self._table, ball.Z, key)
+        r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
+        return r, self.eval(ball, r)
 
 
 def sample_radius_rejection(greens, ball, key, rounds: int = 16):

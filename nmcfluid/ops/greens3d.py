@@ -11,6 +11,7 @@ exponentially-scaled forms
 
 so nothing overflows in float32 for large sqrt(lam)*R.
 """
+import math
 from typing import NamedTuple
 
 import jax
@@ -85,7 +86,7 @@ class Harmonic3D:
         return 6.0 * r * (ball.R - r) / (ball.R ** 3)
 
     @staticmethod
-    def sample_radius(ball, key):
+    def sample_radius(ball, key, rounds: int = 0):
         """Ulrich's polar method, closed form (distributions.h:483-496)."""
         u = jax.random.uniform(key, (2,) + ball.R.shape)
         phi = 2.0 * jnp.pi * u[1]
@@ -102,7 +103,9 @@ class Yukawa3D:
 
     def __init__(self, lam):
         self.lam = float(lam)
-        self.sqrt_lam = float(jnp.sqrt(lam))
+        self.sqrt_lam = math.sqrt(float(lam))
+        from . import radial_tables as rt
+        self._table = rt.build_table(3).astype("float32")  # numpy: trace-safe
 
     def make_ball(self, R):
         Z = self.sqrt_lam * R
@@ -155,6 +158,9 @@ class Yukawa3D:
                        jnp.minimum(0.5 * sR, 0.5 * slam))
         return jnp.maximum(lo, hi)
 
-    def sample_radius(self, ball, key, rounds: int = 16):
-        from .greens2d import sample_radius_rejection
-        return sample_radius_rejection(self, ball, key, rounds)
+    def sample_radius(self, ball, key, rounds: int = 0):
+        """Inverse-CDF draw (see greens2d.Yukawa2D.sample_radius)."""
+        from . import radial_tables as rt
+        t = rt.sample_t_screened(self._table, ball.Z, key)
+        r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
+        return r, self.eval(ball, r)

@@ -1,0 +1,449 @@
+"""Batched walk-on-stars estimator for screened Poisson problems on TPU.
+
+TPU-native rebuild of zombie's WalkOnStars<float, DIM>
+(reference: bindings/zombie/include/zombie/point_estimation/walk_on_stars.h).
+Where the reference runs one recursive walk per CPU thread over a BVH, this
+solver advances *all* walkers of a point batch in lockstep as SoA arrays
+inside a single `lax.while_loop`, with brute-force vectorized geometry
+queries (see nmcfluid.geometry) and scaled-Bessel Green's functions (see
+nmcfluid.ops.greens2d/3d). Randomness is counter-based (threefry fold-ins),
+so runs are reproducible — unlike the reference's wall-clock-seeded pcg32
+(walk_on_stars.h:638-641).
+
+The estimator set matches the reference math one-for-one:
+  * star radii from silhouette queries, shrunk 1% (walk_on_stars.h:162-178,
+    RADIUS_SHRINK_PERCENTAGE);
+  * uniform directions with hemisphere flip on Neumann (:185-191);
+  * ray clipping against the Neumann boundary, arc step otherwise (:196-210);
+  * single-sample Neumann boundary term via |G|-weighted boundary sampling
+    (:212-260), skipped automatically when the boundary value is None <=> 0
+    (every shipped fluid config: demo/scene.h:176-181);
+  * in-ball Green's-function source sampling along the walk direction,
+    accepted when it lands inside the star region (:262-276);
+  * Yukawa screening from step `steps_before_tikhonov` (:319-321) — the
+    fluid uses sigma=350 from step 0;
+  * Russian roulette on the direction-sampled Poisson kernel throughput
+    (:297-306);
+  * antithetic pairs + solution/source control variates + stratified first
+    directions for the gradient estimator (:466-617);
+  * walks that escape the domain or exceed the cap are dropped from the
+    statistics, matching which completion codes update estimates (:447-459).
+"""
+import dataclasses
+import math
+from functools import lru_cache, partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import queries2d, queries3d
+from ..geometry.soup2d import Seg2D
+from ..ops import greens2d, greens3d
+from ..ops.sampling import unit_sphere_from_u, pdf_unit_sphere
+
+RADIUS_SHRINK = 0.99  # walk_on_stars.h:9
+
+# walk completion codes
+ACTIVE, DONE_RR, DONE_DIRICHLET, DROP_ESCAPED, DROP_MAXLEN = 0, 1, 2, 3, 4
+
+
+@dataclasses.dataclass(frozen=True)
+class WalkSettings:
+    """Mirror of zombie::WalkSettings (walk_on_stars.h:679-742) plus the
+    TPU lockstep-loop cap. `walk_step_cap` bounds the while_loop; with the
+    shipped Russian-roulette threshold (0.99) and sigma=350 the surviving
+    fraction at 64 steps is ~0 (tested), so the cap introduces no
+    measurable bias while keeping the loop compilable."""
+    epsilon_shell: float = 1e-3
+    min_star_radius: float = 1e-3
+    silhouette_precision: float = 1e-3
+    russian_roulette_threshold: float = 0.99
+    max_walk_length: int = 10_000
+    steps_before_tikhonov: int = 0
+    n_walks: int = 500
+    walk_step_cap: int = 64
+    rejection_rounds: int = 16
+    ignore_dirichlet: bool = True
+    ignore_neumann: bool = False
+    ignore_source: bool = False
+    use_gradient_control_variates: bool = True
+    use_gradient_antithetic_variates: bool = True
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # id-hash: stable jit cache key
+class WostScene:
+    """Static PDE + geometry description (zombie::PDE, core/pde.h:14-27).
+
+    `source_fn(x)` is the volumetric source; `neumann_fn`/`dirichlet_fn`
+    of None mean identically-zero boundary data and let the solver skip
+    those terms entirely (the fluid projection always has h == g == 0,
+    demo/scene.h:168-200)."""
+    dim: int
+    neumann: object                 # Seg2D | Tri3D
+    source_fn: Callable
+    absorption: float = 0.0
+    dirichlet: Optional[object] = None
+    neumann_fn: Optional[Callable] = None
+    dirichlet_fn: Optional[Callable] = None
+
+    def qmod(self):
+        return queries2d if self.dim == 2 else queries3d
+
+    def greens(self):
+        return _get_greens(self.dim, float(self.absorption))
+
+
+@lru_cache(maxsize=None)
+def _get_greens(dim: int, absorption: float):
+    """Cached Green's-function namespace per (dim, sigma): radius tables
+    are built once on the host, not per trace."""
+    if absorption > 0.0:
+        return (greens2d.Yukawa2D(absorption) if dim == 2
+                else greens3d.Yukawa3D(absorption))
+    return greens2d.Harmonic2D if dim == 2 else greens3d.Harmonic3D
+
+
+class WalkState(NamedTuple):
+    x: jax.Array            # (..., D) current position
+    n: jax.Array            # (..., D) current normal (stale unless on bdry)
+    on_neumann: jax.Array   # (...,) bool
+    thr: jax.Array          # (...,) throughput
+    acc: jax.Array          # (...,) accumulated source+neumann contribution
+    steps: jax.Array        # (...,) int32
+    status: jax.Array       # (...,) int32 completion code
+    first_radius: jax.Array  # (...,) >0 -> use as first star radius
+
+
+def _dirichlet_dist(scene, x):
+    q = scene.qmod()
+    if scene.dirichlet is None:
+        return q.dist_to_far_bbox_corner(scene.neumann, x)
+    return q.distance(scene.dirichlet, x)
+
+
+def _sample_neumann_boundary(scene, x, radius, key):
+    """Single-sample Neumann boundary pick, |G|-length-weighted.
+
+    Brute-force equivalent of FCPW's stochastic BVH traversal
+    (fcpw_scene_loader.h:599-620) with the traversal weight of
+    demo/scene.h:157-160: per-segment weight = |G3D(max(d, 1e-2))| * length,
+    pdf reported w.r.t. the boundary measure."""
+    soup: Seg2D = scene.neumann
+    if scene.dim == 2:
+        a, b = soup.a, soup.b
+        seg = b - a
+        ln = jnp.linalg.norm(seg, axis=-1)
+        ab = seg / jnp.maximum(ln, 1e-20)[..., None]
+        xa = x[..., None, :] - a
+        t = jnp.clip(jnp.sum(xa * ab, -1), 0.0, ln)
+        p = a + t[..., None] * ab
+        d = jnp.linalg.norm(x[..., None, :] - p, axis=-1)
+        w = ln / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))
+        w = jnp.where(ln > 1e-12, w, 0.0)
+        tot = jnp.sum(w, -1)
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.categorical(k1, jnp.log(jnp.maximum(w, 1e-30)),
+                                     axis=-1)
+        u = jax.random.uniform(k2, idx.shape)
+        pa, pb = soup.a[idx], soup.b[idx]
+        pt = pa + u[..., None] * (pb - pa)
+        li = ln[idx]
+        pdf = jnp.take_along_axis(w, idx[..., None], -1)[..., 0]
+        pdf = pdf / jnp.maximum(tot, 1e-30) / jnp.maximum(li, 1e-20)
+        return pt, soup.n[idx], pdf
+    raise NotImplementedError("3D Neumann-value sampling lands with a scene "
+                              "that has nonzero h (none shipped).")
+
+
+def _walk(scene, greens, settings: WalkSettings, state: WalkState,
+          key, rand_shape):
+    """Advance all lanes until every walk has terminated or the cap hits.
+
+    Lanes with leading dims broadcasting from `rand_shape` share random
+    draws (used for antithetic continuation pairs, mirroring the shared
+    re-seed at walk_on_stars.h:579)."""
+    q = scene.qmod()
+    D = scene.dim
+    rr = settings.russian_roulette_threshold
+    soup = scene.neumann
+    use_yukawa = scene.absorption > 0.0
+    if use_yukawa and settings.steps_before_tikhonov != 0:
+        raise NotImplementedError(
+            "mid-walk Tikhonov switch: all shipped configs use "
+            "setpsBeforeApplyingTikhonov=0")
+
+    def cond(carry):
+        it, st = carry
+        return (it < settings.walk_step_cap) & jnp.any(st.status == ACTIVE)
+
+    def body(carry):
+        it, st = carry
+        kstep = jax.random.fold_in(key, it)
+        active = st.status == ACTIVE
+
+        dd = _dirichlet_dist(scene, st.x)
+        star = q.star_radius(soup, st.x, settings.min_star_radius, dd)
+        star = jnp.where(settings.min_star_radius <= dd,
+                         jnp.maximum(RADIUS_SHRINK * star,
+                                     settings.min_star_radius), star)
+        R = jnp.where(st.first_radius > 0.0, st.first_radius, star)
+        ball = greens.make_ball(R)
+
+        u_dir = jax.random.uniform(jax.random.fold_in(kstep, 0),
+                                   rand_shape + (D - 1,))
+        d = unit_sphere_from_u(u_dir, D)
+        d = jnp.broadcast_to(d, st.x.shape)
+        flip = st.on_neumann & (jnp.sum(st.n * d, -1) > 0.0)
+        d = jnp.where(flip[..., None], -d, d)
+
+        off = q.OFFSET_EPS * jnp.maximum(
+            1.0, jnp.linalg.norm(st.x, axis=-1))[..., None]
+        o_eff = jnp.where(st.on_neumann[..., None], st.x - st.n * off, st.x)
+        hit, t_hit, hit_pt, hit_n = q.ray_intersect(soup, o_eff, d, R)
+        arc_pt = o_eff + R[..., None] * d
+        new_pt = jnp.where(hit[..., None], hit_pt, arc_pt)
+        new_n = jnp.where(hit[..., None], hit_n, st.n)
+
+        acc = st.acc
+        # ---- Neumann boundary term (zero boundary data short-circuits)
+        if scene.neumann_fn is not None and not settings.ignore_neumann:
+            kb = jax.random.fold_in(kstep, 1)
+            bpt, bn, bpdf = _sample_neumann_boundary(scene, st.x, R, kb)
+            bdist = jnp.linalg.norm(bpt - st.x, axis=-1)
+            alpha = jnp.where(st.on_neumann, 2.0, 1.0)
+            vis = q.has_line_of_sight(soup, o_eff, bpt)
+            ok = (bpdf > 0.0) & (bdist < R) & vis
+            G = greens.eval(ball, jnp.maximum(bdist, greens2d.R_CLAMP))
+            h = scene.neumann_fn(bpt)
+            acc = acc + jnp.where(active & ok,
+                                  st.thr * alpha * G * h / bpdf, 0.0)
+
+        # ---- source term: radius along the walk direction, star-clipped
+        if not settings.ignore_source:
+            ks = jax.random.fold_in(kstep, 2)
+            r_src, _ = greens.sample_radius(ball, ks)
+            y = st.x + r_src[..., None] * d
+            take = r_src <= t_hit
+            contrib = greens.norm(ball) * scene.source_fn(y)
+            acc = acc + jnp.where(active & take, st.thr * contrib, 0.0)
+
+        escaped = (~hit) & q.outside_bbox(soup, new_pt)
+
+        r_new = jnp.linalg.norm(new_pt - st.x, axis=-1)
+        thr = st.thr * greens.dspk(ball, r_new)
+        u_rr = jax.random.uniform(jax.random.fold_in(kstep, 3), rand_shape)
+        u_rr = jnp.broadcast_to(u_rr, thr.shape)
+        below = thr < rr
+        die = below & (thr / rr < u_rr)
+        thr = jnp.where(below & ~die, rr, thr)
+        steps = st.steps + 1
+
+        status = st.status
+        status = jnp.where(active & escaped, DROP_ESCAPED, status)
+        status = jnp.where(active & ~escaped & die, DONE_RR, status)
+        status = jnp.where(
+            active & ~escaped & ~die & (steps > settings.max_walk_length),
+            DROP_MAXLEN, status)
+        if scene.dirichlet is not None:
+            dd_new = _dirichlet_dist(scene, new_pt)
+            status = jnp.where((status == ACTIVE)
+                               & (dd_new <= settings.epsilon_shell),
+                               DONE_DIRICHLET, status)
+
+        st2 = WalkState(
+            x=jnp.where(active[..., None], new_pt, st.x),
+            n=jnp.where(active[..., None], new_n, st.n),
+            on_neumann=jnp.where(active, hit, st.on_neumann),
+            thr=jnp.where(active, jnp.where(die, 0.0, thr), st.thr),
+            acc=acc,
+            steps=jnp.where(active, steps, st.steps),
+            status=status,
+            first_radius=jnp.zeros_like(st.first_radius),
+        )
+        return it + 1, st2
+
+    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    # lanes still active at the cap are treated as over-length (dropped)
+    status = jnp.where(final.status == ACTIVE, DROP_MAXLEN, final.status)
+    final = final._replace(status=status)
+
+    terminal = jnp.zeros_like(final.acc)
+    if scene.dirichlet_fn is not None and not settings.ignore_dirichlet:
+        terminal = jnp.where(final.status == DONE_DIRICHLET,
+                             scene.dirichlet_fn(final.x), 0.0)
+    total = final.acc + final.thr * terminal
+    valid = (final.status == DONE_RR) | (final.status == DONE_DIRICHLET)
+    return total, valid, final.steps
+
+
+def _first_sphere_radius_solution(scene, settings, pts):
+    """First star radius for solution-only estimation
+    (walk_on_stars.h:403-424)."""
+    q = scene.qmod()
+    dd = _dirichlet_dist(scene, pts)
+    star = q.star_radius(scene.neumann, pts, settings.min_star_radius, dd)
+    star = jnp.where(settings.min_star_radius <= dd,
+                     jnp.maximum(RADIUS_SHRINK * star,
+                                 settings.min_star_radius), star)
+    return star
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def estimate_solution(scene: WostScene, settings: WalkSettings, pts, key,
+                      n_walks: Optional[int] = None):
+    """Estimate the PDE solution at pts (N, D) with n_walks walks each.
+
+    Returns (p, n_valid, mean_steps). Walks of one point use independent
+    randoms; all (point, walk) lanes advance together."""
+    greens = scene.greens()
+    n_walks = n_walks or settings.n_walks
+    N = pts.shape[0]
+    first_r = _first_sphere_radius_solution(scene, settings, pts)
+
+    lanes = (n_walks, N)
+    st = WalkState(
+        x=jnp.broadcast_to(pts, lanes + (scene.dim,)),
+        n=jnp.zeros(lanes + (scene.dim,), jnp.float32),
+        on_neumann=jnp.zeros(lanes, bool),
+        thr=jnp.ones(lanes, jnp.float32),
+        acc=jnp.zeros(lanes, jnp.float32),
+        steps=jnp.zeros(lanes, jnp.int32),
+        status=jnp.zeros(lanes, jnp.int32),
+        first_radius=jnp.broadcast_to(first_r, lanes),
+    )
+    total, valid, steps = _walk(scene, greens, settings, st, key, lanes)
+    n_valid = jnp.sum(valid, axis=0)
+    p = jnp.sum(jnp.where(valid, total, 0.0), axis=0) / jnp.maximum(n_valid, 1)
+    mean_steps = jnp.sum(jnp.where(valid, steps, 0), axis=0) \
+        / jnp.maximum(n_valid, 1)
+    return p, n_valid, mean_steps
+
+
+def _stratified_pair_u(key, w, n_pairs, rot, dim):
+    """Per-pair stratified uniforms in [0,1)^{dim-1} with per-point
+    Cranley-Patterson rotation `rot` ((N, dim-1)), standing in for the
+    per-point stratified sequences of walk_on_stars.h:489-491."""
+    if dim == 2:
+        jit = jax.random.uniform(key, rot.shape[:-1])
+        u = jnp.mod((w + jit) / n_pairs + rot[..., 0], 1.0)
+        return u[..., None]
+    # 3D: decompose the pair index onto a near-square grid for 2D strata
+    a = int(math.ceil(math.sqrt(n_pairs)))
+    wi, wj = w % a, w // a
+    jit = jax.random.uniform(key, rot.shape[:-1] + (2,))
+    u0 = jnp.mod((wi + jit[..., 0]) / a + rot[..., 0], 1.0)
+    u1 = jnp.mod((wj + jit[..., 1]) / ((n_pairs + a - 1) // a) + rot[..., 1],
+                 1.0)
+    return jnp.stack([u0, u1], axis=-1)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
+                                   pts, key, n_walks: Optional[int] = None,
+                                   mask_invalid: bool = True):
+    """Estimate solution and spatial gradient at interior pts (N, D).
+
+    Rebuild of estimateSolutionAndGradient (walk_on_stars.h:466-617):
+    antithetic source/boundary pairs, running-mean control variates,
+    stratified first directions, first sphere = 0.99*dist-to-boundary.
+    Returns (p, grad (N, D), n_valid).
+    """
+    greens = scene.greens()
+    q = scene.qmod()
+    D = scene.dim
+    n_walks = n_walks or settings.n_walks
+    n_pairs = max(1, n_walks // 2) \
+        if settings.use_gradient_antithetic_variates else n_walks
+    n_anti = 2 if settings.use_gradient_antithetic_variates else 1
+    N = pts.shape[0]
+
+    nd = q.distance(scene.neumann, pts)
+    dd = _dirichlet_dist(scene, pts)
+    R1 = RADIUS_SHRINK * jnp.minimum(nd, dd)            # walk_on_stars.h:486
+    degenerate = R1 <= 1e-6                              # on/next to boundary
+    R1 = jnp.maximum(R1, 1e-6)
+    ball1 = greens.make_ball(R1)
+    norm1 = greens.norm(ball1)
+    thr1 = greens.pk_over_uniform(ball1)
+    pk_coeff = greens.pk_grad_coeff(ball1)
+    b_pdf = pdf_unit_sphere(D)
+
+    rot = jax.random.uniform(jax.random.fold_in(key, 0xC0FFEE), (N, D - 1))
+    signs = jnp.asarray([1.0, -1.0], jnp.float32)[:n_anti, None, None]
+
+    def pair_body(w, carry):
+        (sum_sol, n_sol, sum_first, sum_grad, n_grad) = carry
+        kw = jax.random.fold_in(key, w)
+        # control variates from running statistics (walk_on_stars.h:501-506)
+        if settings.use_gradient_control_variates:
+            cv_b = sum_sol / jnp.maximum(n_sol, 1)
+            cv_s = sum_first / jnp.maximum(n_sol, 1)
+        else:
+            cv_b = jnp.zeros_like(sum_sol)
+            cv_s = jnp.zeros_like(sum_first)
+
+        # first source sample in the first ball, antithetic through center
+        u_s = _stratified_pair_u(jax.random.fold_in(kw, 0), w, n_pairs,
+                                 rot, D)
+        dir_s = unit_sphere_from_u(u_s, D)               # (N, D)
+        r_s, eval_s = greens.sample_radius(ball1, jax.random.fold_in(kw, 1))
+        y_vol = pts[None] + signs * (r_s[:, None] * dir_s)[None]   # (A,N,D)
+        if settings.ignore_source:
+            first_src = jnp.zeros((n_anti, N), jnp.float32)
+            sgd = jnp.zeros((n_anti, N, D), jnp.float32)
+        else:
+            first_src = norm1[None] * scene.source_fn(y_vol)       # (A,N)
+            # sourceGradientDirection = grad/(pdf*norm) = d * grad_norm/eval
+            sgd = (signs * dir_s[None]) * (r_s * greens.grad_norm(ball1, r_s)
+                                           / jnp.maximum(eval_s, 1e-30)
+                                           )[None, :, None]
+
+        # first boundary step to the ball surface, antithetic mirrored
+        u_b = _stratified_pair_u(jax.random.fold_in(kw, 2), w, n_pairs,
+                                 jnp.mod(rot + 0.5, 1.0), D)
+        dir_b = unit_sphere_from_u(u_b, D)
+        y_surf = pts[None] + signs * (R1[:, None] * dir_b)[None]   # (A,N,D)
+        # boundaryGradientDirection = pkGradient/(b_pdf * throughput)
+        bgd = (signs * dir_b[None]) * (pk_coeff * R1
+                                       / (b_pdf * jnp.maximum(thr1, 1e-30))
+                                       )[None, :, None]
+
+        st = WalkState(
+            x=y_surf,
+            n=jnp.zeros_like(y_surf),
+            on_neumann=jnp.zeros((n_anti, N), bool),
+            thr=jnp.broadcast_to(thr1, (n_anti, N)),
+            acc=first_src,
+            steps=jnp.zeros((n_anti, N), jnp.int32),
+            status=jnp.zeros((n_anti, N), jnp.int32),
+            first_radius=jnp.zeros((n_anti, N), jnp.float32),
+        )
+        total, valid, _ = _walk(scene, greens, settings, st,
+                                jax.random.fold_in(kw, 3), (N,))
+        valid = valid & ~degenerate[None]
+        vf = valid.astype(jnp.float32)
+
+        boundary_contrib = total - first_src
+        grad = ((boundary_contrib - cv_b[None])[..., None] * bgd
+                + (first_src - cv_s[None])[..., None] * sgd)   # (A,N,D)
+
+        sum_sol = sum_sol + jnp.sum(vf * total, axis=0)
+        sum_first = sum_first + jnp.sum(vf * first_src, axis=0)
+        n_sol = n_sol + jnp.sum(valid, axis=0)
+        sum_grad = sum_grad + jnp.sum(vf[..., None] * grad, axis=0)
+        n_grad = n_grad + jnp.sum(valid, axis=0)
+        return (sum_sol, n_sol, sum_first, sum_grad, n_grad)
+
+    init = (jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.int32),
+            jnp.zeros((N,), jnp.float32), jnp.zeros((N, D), jnp.float32),
+            jnp.zeros((N,), jnp.int32))
+    sum_sol, n_sol, _, sum_grad, n_grad = \
+        jax.lax.fori_loop(0, n_pairs, pair_body, init)
+
+    p = sum_sol / jnp.maximum(n_sol, 1)
+    grad = sum_grad / jnp.maximum(n_grad, 1)[..., None]
+    if mask_invalid:
+        p = jnp.where(degenerate, 0.0, p)
+        grad = jnp.where(degenerate[..., None], 0.0, grad)
+    return p, grad, n_sol
