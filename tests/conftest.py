@@ -2,9 +2,18 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh: sharding/pjit paths are exercised
 # without TPU hardware, and results are deterministic across machines.
+#
+# NOTE: a sitecustomize on this image force-registers an 'axon' TPU plugin
+# and sets jax.config.jax_platforms = "axon,cpu" at interpreter start,
+# overriding the JAX_PLATFORMS env var. jax.config.update after import wins,
+# so pin the platform here in addition to the env vars.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
