@@ -1,0 +1,207 @@
+"""Simulation driver CLI: `python -m nmcfluid.run <scene> [options]`.
+
+Replaces src/{2d,3d}/main.py + config.py + examples/*/run.sh: all per-scene
+hyperparameters live in the scene catalog (nmcfluid.scenes); flags override.
+Per timestep it saves a checkpoint and (optionally) velocity/vorticity
+frames, then optionally replays the density/export pass
+(src/{2d,3d}/move_density.py) — `--density`.
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from .scenes import get_scene, SCENES
+from .sim import NeuralFluid
+from .sim import sampling
+from .utils import save_ckpt, load_ckpt, latest_step
+from .wost.solver import WalkSettings
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TPU-native neural MC fluid")
+    p.add_argument("scene", choices=sorted(SCENES))
+    p.add_argument("--exp_name", default=None)
+    p.add_argument("--out", default="results")
+    p.add_argument("--n_timesteps", type=int, default=None)
+    p.add_argument("--max_n_iters", type=int, default=None)
+    p.add_argument("--sample_resolution", type=int, default=None)
+    p.add_argument("--wost_resolution", type=int, default=None)
+    p.add_argument("--div_resolution", type=int, default=None)
+    p.add_argument("--n_walks", type=int, default=None)
+    p.add_argument("--walk_step_cap", type=int, default=64)
+    p.add_argument("--adv_ref", type=int, default=0)
+    p.add_argument("--ckpt", type=int, default=-1,
+                   help="resume from step N (config.py --ckpt)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--draw", action="store_true",
+                   help="save velocity/vorticity pngs per frame")
+    p.add_argument("--density", action="store_true",
+                   help="run the density/export replay after simulating")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the MC solve over N devices (0 = off)")
+    return p
+
+
+def make_fluid(args):
+    scene = get_scene(args.scene)
+    mesh = None
+    if args.mesh:
+        from .parallel import points_mesh
+        mesh = points_mesh(args.mesh)
+    ws = None
+    if args.n_walks or args.walk_step_cap != 64:
+        ws = scene.walk_settings(n_walks=args.n_walks or scene.n_walks,
+                                 walk_step_cap=args.walk_step_cap)
+    return NeuralFluid(scene,
+                       max_n_iters=args.max_n_iters,
+                       sample_resolution=args.sample_resolution,
+                       wost_resolution=args.wost_resolution,
+                       div_resolution=args.div_resolution,
+                       walk_settings=ws,
+                       adv_ref=bool(args.adv_ref),
+                       mesh=mesh)
+
+
+def draw_frame(fluid, state, dirs, t):
+    from .ops.diff_ops import curl2d, curl3d
+    from .utils import vis
+    scene = fluid.scene
+    res = scene.vel_vis_resolution
+    u = np.asarray(fluid.sample_velocity_grid(state, res))
+    pts = np.asarray(sampling.uniform_grid(scene.scene_size, res, True))
+    vis.save_txt_grid(os.path.join(dirs["txt"],
+                                   f"velocity_values_t{t:03d}.txt"), u)
+    vis.save_txt_grid(os.path.join(dirs["txt"],
+                                   f"velocity_samples_t{t:03d}.txt"), pts)
+    if scene.dim == 2:
+        vis.draw_vector_field2d(u[..., 0], u[..., 1], pts[..., 0],
+                                pts[..., 1],
+                                os.path.join(dirs["velocity"],
+                                             f"velocity_t{t:03d}.png"))
+        import jax.numpy as jnp
+        grid = sampling.uniform_grid(scene.scene_size, scene.vis_resolution)
+        w = np.asarray(curl2d(
+            lambda p: fluid.velocity(state.params_prev, p, eps=state.eps,
+                                     t=state.timestep),
+            grid))
+        vis.draw_scalar_field2d(w, os.path.join(dirs["vorticity"],
+                                                f"vorticity_t{t:03d}.png"),
+                                vmin=-5, vmax=5)
+        np.savetxt(os.path.join(dirs["txt"], f"vorticity_values_t{t:03d}.txt"),
+                   w.reshape(-1, 1))
+
+
+def run_density(fluid, args, exp_dir, model_dir):
+    from .transport import transport_rollout, init_density
+    from .utils import vis
+    scene = fluid.scene
+    dens_dir = os.path.join(exp_dir, "density")
+    os.makedirs(dens_dir, exist_ok=True)
+    last = latest_step(model_dir)
+    params0 = fluid.init_state(args.seed).params
+
+    def params_iter():
+        for t in range(last + 1):
+            try:
+                params, _ = load_ckpt(model_dir, params0, t)
+            except FileNotFoundError:
+                return
+            yield params
+
+    errors = []
+    vdb = None
+    try:
+        import pyopenvdb as vdb  # optional (README Setup)
+    except ImportError:
+        pass
+    for t, d_grid, vel, err in transport_rollout(
+            fluid, params_iter(),
+            n=(1000 if scene.dim == 2 else 200)):
+        if scene.dim == 2:
+            vis.draw_scalar_field2d(np.asarray(d_grid),
+                                    os.path.join(dens_dir,
+                                                 f"density_t{t:03d}.png"),
+                                    cmap="Blues")
+        elif vdb is not None:
+            den = vdb.FloatGrid()
+            den.copyFromArray(np.asarray(d_grid))
+            den.transform = vdb.createLinearTransform(voxelSize=0.01)
+            den.name = "density"
+            velg = vdb.Vec3SGrid()
+            velg.copyFromArray(np.asarray(vel))
+            velg.transform = vdb.createLinearTransform(voxelSize=0.01)
+            velg.name = "vel"
+            vdb.write(os.path.join(dens_dir, f"density_t{t:03d}.vdb"),
+                      grids=[den, velg])
+        else:
+            np.savez_compressed(os.path.join(dens_dir,
+                                             f"density_t{t:03d}.npz"),
+                                density=np.asarray(d_grid),
+                                vel=np.asarray(vel))
+        if err is not None:
+            errors.append(err)
+            print(f"density t={t} tg_err={err:.6e}")
+    if errors:
+        np.savetxt(os.path.join(exp_dir, "error_ours.txt"), errors)
+        print("Mean Error:", float(np.mean(errors)))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    scene = get_scene(args.scene)
+    exp = args.exp_name or args.scene
+    exp_dir = os.path.join(args.out, exp)
+    model_dir = os.path.join(exp_dir, "model")
+    dirs = {k: os.path.join(exp_dir, k)
+            for k in ("velocity", "vorticity", "txt", "pressure")}
+    for d in [exp_dir, model_dir] + list(dirs.values()):
+        os.makedirs(d, exist_ok=True)
+    with open(os.path.join(exp_dir, "config.json"), "w") as f:
+        json.dump({k: v for k, v in vars(args).items()}, f, indent=2)
+
+    fluid = make_fluid(args)
+    n_steps = args.n_timesteps or scene.n_timesteps
+
+    state = fluid.init_state(args.seed)
+    if args.ckpt > 0:
+        params, t = load_ckpt(model_dir, state.params, args.ckpt)
+        state = state._replace(params=params,
+                               params_prev=jax.tree.map(np.copy, params),
+                               params_tilde=jax.tree.map(np.copy, params),
+                               timestep=t)
+        print(f"resumed from step {t}")
+    else:
+        t0 = time.time()
+        state = fluid.add_source(state)
+        stats = fluid._last_stats
+        print(f"add_source: {int(stats.iters)} iters, "
+              f"loss {float(stats.loss):.3e}, {time.time() - t0:.1f}s")
+        save_ckpt(model_dir, state.params, 0)
+        if args.draw:
+            draw_frame(fluid, state, dirs, 0)
+
+    # karman halves the ramp width after fitting the IC (main.py:161-163)
+    if scene.name == "karman":
+        state = state._replace(eps=state.eps / 2)
+
+    for _ in range(n_steps):
+        t0 = time.time()
+        state = fluid.step(state)
+        t = int(state.timestep)
+        print(f"timestep {t}: {time.time() - t0:.1f}s "
+              f"P={float(state.P):.3e}")
+        save_ckpt(model_dir, state.params, t)
+        if args.draw:
+            draw_frame(fluid, state, dirs, t)
+
+    if args.density:
+        run_density(fluid, args, exp_dir, model_dir)
+
+
+if __name__ == "__main__":
+    main()

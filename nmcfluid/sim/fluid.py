@@ -1,0 +1,370 @@
+"""The neural Monte Carlo fluid stepper: three jitted phase trainers around
+the walk-on-stars projection.
+
+Rebuild of src/2d/models/{base,model_split}.py (and the 3D twins) as pure
+JAX. The reference's per-iteration Python loop (tqdm + Adam + early-stop,
+base.py:129-152) becomes one `lax.while_loop` compiled per phase: 10k
+Adam steps run on-device with zero host round-trips. The reference's
+velocity/prev/tilde network triple (base.py:48-50) becomes three parameter
+pytrees sharing one apply function.
+
+Per-timestep flow (model_split.py:44-82):
+    prev <- params; tilde <- params
+    advect: fit u(x) to u_prev(clamp(x - u_prev(x) dt))   (:87-120)
+    tilde <- params; prev <- params
+    project: WoSt-solve (Lap - sigma) p = div(u_prev) at a random pressure
+             cloud, then fit u(x) to u_prev(x) - grad p(x)  (:245-284)
+    prev <- params
+with the adv_ref=1 (MacCormack/reflection) variant doubling both phases
+(:63-81). The WoSt stage runs entirely on-TPU (nmcfluid.wost) instead of
+crossing into C++/TBB; its per-step divergence grid is threaded through the
+solver as a dynamic argument so each scene compiles exactly once.
+"""
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..geometry import queries2d, queries3d
+from ..models.boundary import apply_boundary
+from ..models.siren import SirenConfig, apply_siren, init_siren
+from ..wost.solver import (WalkSettings, WostScene,
+                           estimate_solution_and_gradient)
+from . import sampling
+
+
+class SimState(NamedTuple):
+    """Everything that persists between timesteps. As in the reference, the
+    only real simulation state is network weights (SURVEY.md section 0)."""
+    params: list            # velocity_field
+    params_prev: list       # velocity_field_prev
+    params_tilde: list      # velocity_field_tilde
+    P: jax.Array            # mean pressure (kinetic-energy offset, base.py:305)
+    eps: jax.Array          # boundary ramp width (karman halves it, main.py:161)
+    timestep: jax.Array     # int32
+    key: jax.Array
+
+
+class FitStats(NamedTuple):
+    iters: jax.Array
+    loss: jax.Array
+
+
+class NeuralFluid:
+    """Host-side orchestrator; all heavy lifting happens in jitted fns.
+
+    Instances hash by identity and hold only static configuration, so they
+    serve as stable `static_argnums` keys — each phase compiles once per
+    (scene, overrides)."""
+
+    def __init__(self, scene, *, max_n_iters: Optional[int] = None,
+                 sample_resolution: Optional[int] = None,
+                 wost_resolution: Optional[int] = None,
+                 div_resolution: Optional[int] = None,
+                 n_walks: Optional[int] = None,
+                 walk_settings: Optional[WalkSettings] = None,
+                 adv_ref: bool = False,
+                 mesh=None):
+        self.scene = scene
+        self.adv_ref = adv_ref
+        self.mesh = mesh
+        self.max_n_iters = max_n_iters or scene.max_n_iters
+        self.sample_resolution = sample_resolution or scene.sample_resolution
+        self.wost_resolution = wost_resolution or scene.wost_resolution
+        # 2D divergence grid is hardcoded 1000^2 in the reference
+        # (model_split.py:255); 3D uses vis_resolution (3d/model_split.py:268)
+        self.div_resolution = div_resolution or (
+            1000 if scene.dim == 2 else scene.vis_resolution)
+        self.n_batch = self.sample_resolution ** 2        # both 2D and 3D
+        self.n_pressure = self.wost_resolution ** 2       # SURVEY.md 3.1/3.3
+        self.walk_settings = walk_settings or scene.walk_settings(
+            n_walks=n_walks or scene.n_walks)
+        self.siren_cfg = SirenConfig(
+            scene.dim, scene.dim,
+            num_hidden_layers=scene.num_hidden_layers,
+            hidden_features=scene.hidden_features,
+            nonlinearity=scene.nonlinearity,
+            normal_init_std=0.1 if scene.dim == 2 else 1.0)
+        self.q = queries2d if scene.dim == 2 else queries3d
+        # WoSt scene built once: source_fn reads the per-step divergence
+        # grid from a dynamic arg (nearest-cell, like the C++ texel lookup)
+        ss = scene.scene_size
+
+        def source_lookup(y, grid):
+            return sampling.nearest_lookup(grid, ss, y)
+
+        self._wost_scene = WostScene(
+            dim=scene.dim, neumann=scene.boundary, source_fn=source_lookup,
+            absorption=scene.absorption)
+        self._bbox_lo = jnp.asarray([ss[2 * i] for i in range(scene.dim)],
+                                    jnp.float32)
+        self._bbox_hi = jnp.asarray([ss[2 * i + 1] for i in range(scene.dim)],
+                                    jnp.float32)
+
+    # ------------------------------------------------------------- velocity
+
+    def velocity(self, params, x, *, eps, t=0, key=None, bc=True):
+        """query_velocity (base.py:158-224): raw net + scene hard BCs."""
+        raw = apply_siren(params, self.siren_cfg, x)
+        if not bc:
+            return raw
+        if key is None:
+            key = jax.random.PRNGKey(7)
+        return apply_boundary(self.scene, raw, x, eps=eps, t=t, key=key)
+
+    # ----------------------------------------------------------------- init
+
+    def init_state(self, seed: int = 0) -> SimState:
+        key = jax.random.PRNGKey(seed)
+        kp, key = jax.random.split(key)
+        params = init_siren(kp, self.siren_cfg)
+        return SimState(params=params,
+                        params_prev=jax.tree.map(jnp.copy, params),
+                        params_tilde=jax.tree.map(jnp.copy, params),
+                        P=jnp.float32(0.0),
+                        eps=jnp.float32(self.scene.bdry_eps),
+                        timestep=jnp.int32(0),
+                        key=key)
+
+    def _phase_init(self, state: SimState, key):
+        """Fresh weights when --reset_wts (create_optimizer(reset=True),
+        base.py:61-71), else warm-start from the current params."""
+        if self.scene.reset_wts:
+            return init_siren(key, self.siren_cfg)
+        return state.params
+
+    # ------------------------------------------------------------ public API
+
+    def add_source(self, state: SimState) -> SimState:
+        """Fit the initial condition (base.py:313-335). prev <- params."""
+        key, k1, k2 = jax.random.split(state.key, 3)
+        params, stats = _fit_source(self, state.params, k1, state.eps,
+                                    state.timestep)
+        self._last_stats = stats
+        return state._replace(params=params,
+                              params_prev=jax.tree.map(jnp.copy, params),
+                              params_tilde=jax.tree.map(jnp.copy, params),
+                              key=key)
+
+    def step(self, state: SimState) -> SimState:
+        """One operator-split timestep (model_split.py:44-82)."""
+        scene = self.scene
+        state = state._replace(timestep=state.timestep + 1)
+        key = state.key
+        prev = state.params
+        tilde = state.params
+
+        def advect(params_init, prev, tilde, dt, flag, k):
+            return _fit_advect(self, flag, params_init, prev, tilde,
+                               jnp.float32(dt), k, state.eps, state.timestep)
+
+        if not self.adv_ref:
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            p1, st_a = advect(self._phase_init(state, k1), prev, tilde,
+                              scene.dt, False, k2)
+            p2, P, st_p = self._project(state, p1, p1, k3, k4)
+            self._last_stats = (st_a, st_p)
+            out = p2
+        else:
+            # reflection variant (model_split.py:63-81): advect(dt/2) ->
+            # project -> advect(dt/2, MacCormack) -> project
+            key, k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 9)
+            p1, st1 = advect(self._phase_init(state, k1), prev, tilde,
+                             scene.dt / 2, False, k2)
+            tilde = p1
+            p2, P, st2 = self._project(state, p1, p1, k3, k4)
+            p3, st3 = advect(self._phase_init(state, k5), p2, tilde,
+                             scene.dt / 2, True, k6)
+            p4, P, st4 = self._project(state, p3, p3, k7, k8)
+            self._last_stats = (st1, st2, st3, st4)
+            out = p4
+
+        return state._replace(params=out,
+                              params_prev=jax.tree.map(jnp.copy, out),
+                              params_tilde=jax.tree.map(jnp.copy, out),
+                              P=P, key=key)
+
+    def _project(self, state, params_init, prev, k_wost, k_fit):
+        """WoSt pressure solve + projection fit (model_split.py:245-284)."""
+        pts, valid, p, grad_p = _pressure_solve(self, prev, k_wost,
+                                                state.eps, state.timestep)
+        if self.mesh is not None:
+            pass  # pts already laid out by _pressure_solve's sharding hint
+        P = jnp.mean(p)     # model_split.py:219
+        params_init = self._phase_init(state, jax.random.fold_in(k_fit, 1)) \
+            if self.scene.reset_wts else params_init
+        params, stats = _fit_project(self, params_init, prev, pts, grad_p,
+                                     k_fit, state.eps, state.timestep)
+        return params, P, stats
+
+    # ------------------------------------------------------------- measures
+
+    def sample_velocity_grid(self, state, resolution, with_boundary=True):
+        """Velocity of the prev field on a uniform grid (base.py:253-265)."""
+        return _velocity_grid(self, state.params_prev, state.eps,
+                              state.timestep, resolution, with_boundary)
+
+    def kinetic_energy(self, state, resolution=None):
+        """0.5 mean |u|^2 + P (base.py:303-306)."""
+        res = resolution or self.scene.vel_vis_resolution
+        u = _velocity_grid(self, state.params_prev, state.eps,
+                           state.timestep, res, False)
+        return 0.5 * jnp.mean(u ** 2) + state.P
+
+
+# ----------------------------------------------------------- jitted kernels
+
+
+def _adam_fit(fluid, params0, key, batch_fn):
+    """The reference's _training_loop (base.py:129-152): Adam until the loss
+    dips under early_stop_loss or max_n_iters, entirely on-device."""
+    scene = fluid.scene
+    opt = optax.adam(scene.lr)
+    opt_state = opt.init(params0)
+    tol = scene.early_stop_loss
+    dim = scene.dim
+
+    def loss_fn(params, x, target, w):
+        u = batch_fn.velocity(params, x)
+        se = jnp.sum((u - target) ** 2, axis=-1)
+        return jnp.sum(w * se) / (jnp.maximum(jnp.sum(w), 1.0) * dim)
+
+    def cond(carry):
+        i, _, _, loss = carry
+        return (i < fluid.max_n_iters) & (loss > tol)
+
+    def body(carry):
+        i, params, opt_state, _ = carry
+        kb = jax.random.fold_in(key, i)
+        x, target, w = batch_fn.batch(kb)
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, target, w)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return i + 1, params, opt_state, loss
+
+    i, params, _, loss = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), params0, opt_state, jnp.float32(jnp.inf)))
+    return params, FitStats(iters=i, loss=loss)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _fit_source(fluid, params0, key, eps, t):
+    """_add_source (base.py:313-335): fit u to the scene's initial field."""
+    scene = fluid.scene
+
+    class B:
+        @staticmethod
+        def batch(kb):
+            k1, k2 = jax.random.split(kb)
+            pts, valid = sampling.fluid_points(k1, fluid.n_batch, scene)
+            target = scene.source_velocity(pts, key=k2)
+            return pts, target, valid.astype(jnp.float32)
+
+        @staticmethod
+        def velocity(params, x):
+            return fluid.velocity(params, x, eps=eps, t=t)
+
+    return _adam_fit(fluid, params0, key, B)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fit_advect(fluid, flag, params0, prev, tilde, dt, key, eps, t):
+    """_advect_velocity (model_split.py:87-120): semi-Lagrangian fit.
+    flag=True is the MacCormack-style correction 2 u_prev - u_tilde
+    (model_split.py:106)."""
+    scene = fluid.scene
+
+    class B:
+        @staticmethod
+        def batch(kb):
+            pts, valid = sampling.fluid_points(kb, fluid.n_batch, scene)
+            u_prev = fluid.velocity(prev, pts, eps=eps, t=t)
+            back = jnp.clip(pts - u_prev * dt, fluid._bbox_lo,
+                            fluid._bbox_hi)           # model_split.py:99-100
+            adv = fluid.velocity(prev, back, eps=eps, t=t)
+            if flag:
+                adv = 2.0 * adv - fluid.velocity(tilde, back, eps=eps, t=t)
+            return pts, adv, valid.astype(jnp.float32)
+
+        @staticmethod
+        def velocity(params, x):
+            return fluid.velocity(params, x, eps=eps, t=t)
+
+    return _adam_fit(fluid, params0, key, B)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _fit_project(fluid, params0, prev, pressure_pts, grad_p, key, eps, t):
+    """Projection fit (model_split.py:274-284): minibatch the fixed pressure
+    cloud, target u_prev - grad p."""
+    fluid_ = fluid
+    n_cloud = pressure_pts.shape[0]
+
+    class B:
+        @staticmethod
+        def batch(kb):
+            idx = jax.random.randint(kb, (fluid_.n_batch,), 0, n_cloud)
+            pts = pressure_pts[idx]
+            u_prev = fluid_.velocity(prev, pts, eps=eps, t=t)
+            target = u_prev - grad_p[idx]
+            return pts, target, jnp.ones((fluid_.n_batch,), jnp.float32)
+
+        @staticmethod
+        def velocity(params, x):
+            return fluid_.velocity(params, x, eps=eps, t=t)
+
+    return _adam_fit(fluid, params0, key, B)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _velocity_grid(fluid, params, eps, t, resolution, with_boundary):
+    pts = sampling.uniform_grid(fluid.scene.scene_size, resolution,
+                                with_boundary)
+    return fluid.velocity(params, pts, eps=eps, t=t)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _divergence_grid(fluid, prev, eps, t):
+    """-div u_prev on the cell-centered uniform grid; the negation matches
+    'Wost solves lap u = -f' (model_split.py:233) so the PDE solved is
+    (Lap - sigma) p = div u."""
+    pts = sampling.uniform_grid(fluid.scene.scene_size,
+                                fluid.div_resolution, False)
+
+    def f(p):
+        return fluid.velocity(params=prev, x=p, eps=eps, t=t)
+
+    flat = pts.reshape(-1, fluid.scene.dim)
+    jac = jax.vmap(jax.jacfwd(f))(flat)
+    div = jnp.trace(jac, axis1=-2, axis2=-1)
+    return -div.reshape(pts.shape[:-1])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _pressure_solve(fluid, prev, key, eps, t):
+    """Pressure cloud + WoSt solution/gradient with the reference's
+    boundary masking (grid.h:155-237): p and grad p are zeroed within
+    boundaryDistanceMask of the Neumann boundary; grad p additionally
+    outside the domain."""
+    scene = fluid.scene
+    k1, k2 = jax.random.split(key)
+    pts, valid = sampling.fluid_points(k1, fluid.n_pressure, scene)
+    if fluid.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        pts = jax.lax.with_sharding_constraint(
+            pts, NamedSharding(fluid.mesh, PartitionSpec("points", None)))
+    div_grid = _divergence_grid(fluid, prev, eps, t)
+    p, grad_p, n_valid = estimate_solution_and_gradient(
+        fluid._wost_scene, fluid.walk_settings, pts, k2,
+        source_args=(div_grid,))
+    dist = fluid.q.distance(scene.boundary, pts)
+    signed = fluid.q.signed_distance(scene.boundary, pts)
+    mask_near = jnp.abs(dist) < scene.boundary_distance_mask
+    p = jnp.where(mask_near, 0.0, p)
+    bad = mask_near | (signed >= 0.0) | ~valid
+    grad_p = jnp.where(bad[:, None], 0.0, grad_p)
+    return pts, valid, p, grad_p

@@ -1,0 +1,95 @@
+"""Training-point samplers with static shapes.
+
+Replaces src/{2d,3d}/utils/model_utils.py. Two deviations, both deliberate:
+  * grids use indexing='ij' in both dimensions (the reference mixes 'xy' in
+    2D and 'ij' in 3D, model_utils.py 2d:15 / 3d:24) — all consumers in this
+    framework agree on the 'ij' layout;
+  * the 3D reference builds the z axis with res_y points (a slip at
+    3d/model_utils.py:17); here each axis gets its own count.
+
+Where the reference drops samples inside obstacles (dynamic shapes,
+base.py:239-249), `fluid_points` re-draws rejected slots a fixed number of
+rounds and returns a validity mask — shapes stay static for XLA.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_resolutions(scene_size, resolution):
+    """Aspect-scaled per-axis counts: the shortest box edge gets
+    `resolution` cells (model_utils.py 2d:4-7, 3d:4-13)."""
+    dim = len(scene_size) // 2
+    ext = [scene_size[2 * i + 1] - scene_size[2 * i] for i in range(dim)]
+    m = min(ext)
+    return tuple(max(1, int(round(resolution * e / m))) for e in ext)
+
+
+def uniform_grid(scene_size, resolution, with_boundary=False):
+    """Cell-centered uniform grid over the scene box; with_boundary appends
+    the box faces (model_utils.py 2d:9-20). Returns (res_x[, res_y, res_z],
+    dim)."""
+    dim = len(scene_size) // 2
+    res = grid_resolutions(scene_size, resolution)
+    axes = []
+    for i in range(dim):
+        lo, hi = scene_size[2 * i], scene_size[2 * i + 1]
+        a = (jnp.arange(res[i], dtype=jnp.float32) + 0.5) / res[i]
+        if with_boundary:
+            a = jnp.concatenate([jnp.zeros(1), a, jnp.ones(1)])
+        axes.append(lo + a * (hi - lo))
+    return jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+
+
+def random_points(key, n, scene_size):
+    """Uniform random points in the scene box (model_utils.py 2d:22-31)."""
+    dim = len(scene_size) // 2
+    u = jax.random.uniform(key, (n, dim))
+    lo = jnp.asarray([scene_size[2 * i] for i in range(dim)], jnp.float32)
+    hi = jnp.asarray([scene_size[2 * i + 1] for i in range(dim)], jnp.float32)
+    return lo + u * (hi - lo)
+
+
+def fluid_points(key, n, scene, rounds: int = 8):
+    """Random points restricted to the fluid region by fixed-round rejection.
+
+    Returns (pts (n, dim), valid (n,) bool). After `rounds` re-draws the
+    leftover invalid slots (measure ~ (obstacle fraction)^rounds) are flagged
+    so callers can zero their loss weight — the reference instead shrinks
+    the batch (base.py:239-249)."""
+    if not (scene.has_obstacle or scene.name == "jpipe"):
+        return random_points(key, n, scene.scene_size), \
+            jnp.ones((n,), bool)
+
+    def body(i, carry):
+        pts, valid = carry
+        cand = random_points(jax.random.fold_in(key, i), n, scene.scene_size)
+        cand_ok = scene.fluid_mask(cand)
+        take = ~valid & cand_ok
+        pts = jnp.where(take[:, None], cand, pts)
+        return pts, valid | cand_ok
+
+    pts0 = random_points(jax.random.fold_in(key, 0), n, scene.scene_size)
+    valid0 = scene.fluid_mask(pts0)
+    pts, valid = jax.lax.fori_loop(1, rounds, body, (pts0, valid0))
+    return pts, valid
+
+
+def nearest_lookup(grid, scene_size, y):
+    """Nearest-cell gather into a cell-centered grid over the scene box.
+
+    TPU equivalent of the C++ nearest-texel source lookup
+    (demo/image.h:53-58 in 2D, demo/scene_3d.h:102-128 in 3D). grid:
+    (res_x[, res_y, res_z]); y: (..., dim). Out-of-box queries clamp."""
+    dim = y.shape[-1]
+    res = grid.shape
+    idxs = []
+    for i in range(dim):
+        lo, hi = scene_size[2 * i], scene_size[2 * i + 1]
+        u = (y[..., i] - lo) / (hi - lo) * res[i]
+        idxs.append(jnp.clip(u.astype(jnp.int32), 0, res[i] - 1))
+    flat = idxs[0]
+    for i in range(1, dim):
+        flat = flat * res[i] + idxs[i]
+    return jnp.take(grid.reshape(-1), flat)

@@ -75,7 +75,11 @@ class WalkSettings:
 class WostScene:
     """Static PDE + geometry description (zombie::PDE, core/pde.h:14-27).
 
-    `source_fn(x)` is the volumetric source; `neumann_fn`/`dirichlet_fn`
+    `source_fn(x, *source_args)` is the volumetric source; the optional
+    `source_args` pytree is threaded through the estimate functions as a
+    *dynamic* argument, so a per-timestep source field (the fluid's
+    divergence grid) does not bake into the trace as a constant — one
+    compile serves every projection. `neumann_fn`/`dirichlet_fn`
     of None mean identically-zero boundary data and let the solver skip
     those terms entirely (the fluid projection always has h == g == 0,
     demo/scene.h:168-200)."""
@@ -157,7 +161,7 @@ def _sample_neumann_boundary(scene, x, radius, key):
 
 
 def _walk(scene, greens, settings: WalkSettings, state: WalkState,
-          key, rand_shape):
+          key, rand_shape, source_args=()):
     """Advance all lanes until every walk has terminated or the cap hits.
 
     Lanes with leading dims broadcasting from `rand_shape` share random
@@ -225,7 +229,7 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
             r_src, _ = greens.sample_radius(ball, ks)
             y = st.x + r_src[..., None] * d
             take = r_src <= t_hit
-            contrib = greens.norm(ball) * scene.source_fn(y)
+            contrib = greens.norm(ball) * scene.source_fn(y, *source_args)
             acc = acc + jnp.where(active & take, st.thr * contrib, 0.0)
 
         escaped = (~hit) & q.outside_bbox(soup, new_pt)
@@ -291,7 +295,7 @@ def _first_sphere_radius_solution(scene, settings, pts):
 
 @partial(jax.jit, static_argnums=(0, 1, 4))
 def estimate_solution(scene: WostScene, settings: WalkSettings, pts, key,
-                      n_walks: Optional[int] = None):
+                      n_walks: Optional[int] = None, source_args=()):
     """Estimate the PDE solution at pts (N, D) with n_walks walks each.
 
     Returns (p, n_valid, mean_steps). Walks of one point use independent
@@ -312,7 +316,8 @@ def estimate_solution(scene: WostScene, settings: WalkSettings, pts, key,
         status=jnp.zeros(lanes, jnp.int32),
         first_radius=jnp.broadcast_to(first_r, lanes),
     )
-    total, valid, steps = _walk(scene, greens, settings, st, key, lanes)
+    total, valid, steps = _walk(scene, greens, settings, st, key, lanes,
+                                source_args)
     n_valid = jnp.sum(valid, axis=0)
     p = jnp.sum(jnp.where(valid, total, 0.0), axis=0) / jnp.maximum(n_valid, 1)
     mean_steps = jnp.sum(jnp.where(valid, steps, 0), axis=0) \
@@ -341,7 +346,8 @@ def _stratified_pair_u(key, w, n_pairs, rot, dim):
 @partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
                                    pts, key, n_walks: Optional[int] = None,
-                                   mask_invalid: bool = True):
+                                   mask_invalid: bool = True,
+                                   source_args=()):
     """Estimate solution and spatial gradient at interior pts (N, D).
 
     Rebuild of estimateSolutionAndGradient (walk_on_stars.h:466-617):
@@ -393,7 +399,7 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
             first_src = jnp.zeros((n_anti, N), jnp.float32)
             sgd = jnp.zeros((n_anti, N, D), jnp.float32)
         else:
-            first_src = norm1[None] * scene.source_fn(y_vol)       # (A,N)
+            first_src = norm1[None] * scene.source_fn(y_vol, *source_args)
             # sourceGradientDirection = grad/(pdf*norm) = d * grad_norm/eval
             sgd = (signs * dir_s[None]) * (r_s * greens.grad_norm(ball1, r_s)
                                            / jnp.maximum(eval_s, 1e-30)
@@ -420,7 +426,7 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
             first_radius=jnp.zeros((n_anti, N), jnp.float32),
         )
         total, valid, _ = _walk(scene, greens, settings, st,
-                                jax.random.fold_in(kw, 3), (N,))
+                                jax.random.fold_in(kw, 3), (N,), source_args)
         valid = valid & ~degenerate[None]
         vf = valid.astype(jnp.float32)
 

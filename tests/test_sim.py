@@ -1,0 +1,138 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmcfluid.scenes import get_scene
+from nmcfluid.sim import NeuralFluid
+from nmcfluid.sim import sampling
+from nmcfluid.wost.solver import WalkSettings
+
+
+def tiny_fluid(name="taylorgreen", **over):
+    scene = get_scene(name)
+    scene = dataclasses.replace(
+        scene, max_n_iters=over.pop("max_n_iters", 400),
+        _boundary_builder=scene._boundary_builder,
+        _source_builder=scene._source_builder,
+        _obstacle_sdf_builder=scene._obstacle_sdf_builder)
+    over.setdefault("walk_settings", WalkSettings(n_walks=32,
+                                                  walk_step_cap=24))
+    return NeuralFluid(
+        scene,
+        sample_resolution=over.pop("sample_resolution", 16),
+        wost_resolution=over.pop("wost_resolution", 16),
+        div_resolution=over.pop("div_resolution", 48),
+        **over)
+
+
+def test_uniform_grid_matches_reference_convention():
+    g = sampling.uniform_grid((0.0, 2.0, 0.0, 1.0), 4, with_boundary=False)
+    # shortest edge (y) gets 4 cells, x gets 8; cell-centered
+    assert g.shape == (8, 4, 2)
+    np.testing.assert_allclose(np.asarray(g[0, 0]), [0.125, 0.125])
+    np.testing.assert_allclose(np.asarray(g[-1, -1]), [1.875, 0.875])
+    gb = sampling.uniform_grid((0.0, 2.0, 0.0, 1.0), 4, with_boundary=True)
+    assert gb.shape == (10, 6, 2)
+    np.testing.assert_allclose(np.asarray(gb[0, 0]), [0.0, 0.0])
+
+
+def test_nearest_lookup_roundtrip():
+    g = sampling.uniform_grid((0.0, 1.0, 0.0, 1.0), 8)
+    vals = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+    got = sampling.nearest_lookup(vals, (0.0, 1.0, 0.0, 1.0),
+                                  g.reshape(-1, 2))
+    np.testing.assert_allclose(np.asarray(got), np.arange(64))
+
+
+def test_fluid_points_respect_obstacle():
+    scene = get_scene("karman")
+    pts, valid = sampling.fluid_points(jax.random.PRNGKey(0), 512, scene)
+    sd = np.asarray(scene.obstacle_sdf(pts))
+    assert np.all(sd[np.asarray(valid)] > 0.0)
+    assert np.asarray(valid).mean() > 0.99     # obstacle is tiny
+
+
+def test_add_source_fits_taylor_green():
+    fl = tiny_fluid(max_n_iters=1500)
+    st = fl.init_state(0)
+    st = fl.add_source(st)
+    pts = sampling.uniform_grid(fl.scene.scene_size, 24)
+    u = np.asarray(fl.velocity(st.params, pts, eps=st.eps))
+    want = np.asarray(fl.scene.source_velocity(pts))
+    err = np.mean(np.sum((u - want) ** 2, -1))
+    assert err < 5e-2, err
+
+
+def test_step_runs_and_keeps_field_near_tg():
+    fl = tiny_fluid(max_n_iters=800)
+    st = fl.init_state(0)
+    st = fl.add_source(st)
+    st1 = fl.step(st)
+    assert int(st1.timestep) == 1
+    u = np.asarray(fl.sample_velocity_grid(st1, 24, with_boundary=False))
+    assert np.all(np.isfinite(u))
+    # dt=1e-3: one step must stay close to the (steady) TG field
+    pts = sampling.uniform_grid(fl.scene.scene_size, 24)
+    want = np.asarray(fl.scene.source_velocity(pts))
+    err = np.mean(np.sum((u - want) ** 2, -1))
+    assert err < 0.1, err
+    assert np.isfinite(float(st1.P))
+
+
+def test_divergence_grid_matches_pointwise_autodiff():
+    from nmcfluid.sim.fluid import _divergence_grid
+    from nmcfluid.ops.diff_ops import divergence
+    fl = tiny_fluid(max_n_iters=1)
+    st = fl.init_state(3)
+    g = np.asarray(_divergence_grid(fl, st.params, st.eps, st.timestep))
+    pts = sampling.uniform_grid(fl.scene.scene_size, fl.div_resolution)
+    f = lambda p: fl.velocity(st.params, p, eps=st.eps)
+    want = -np.asarray(divergence(f, pts.reshape(-1, 2))).reshape(g.shape)
+    np.testing.assert_allclose(g, want, atol=1e-3)
+
+
+def test_pressure_solve_analytic_source_through_grid_lookup():
+    """Feed the WoSt stage an analytic screened-Poisson source via the same
+    nearest-cell grid lookup the fluid uses, and check p / grad p against
+    the manufactured solution p* = cos(k x) cos(k y) (dp*/dn = 0 on the TG
+    box walls)."""
+    from nmcfluid.wost.solver import estimate_solution_and_gradient
+    fl = tiny_fluid(walk_settings=WalkSettings(n_walks=192, walk_step_cap=48),
+                    div_resolution=256)
+    scene = fl.scene
+    ss = scene.scene_size
+    L = ss[1] - ss[0]
+    k = 2.0 * np.pi / L          # full TG period: Neumann on all walls
+    sigma = scene.absorption
+
+    def p_star(x):
+        return (jnp.cos(k * (x[..., 0] - ss[0]))
+                * jnp.cos(k * (x[..., 1] - ss[2])))
+
+    grid_pts = sampling.uniform_grid(ss, fl.div_resolution)
+    div_grid = (sigma + 2.0 * k ** 2) * p_star(grid_pts)
+
+    pts = jnp.asarray([[3.14, 3.14], [1.5, 2.0], [4.8, 1.2]], jnp.float32)
+    p, grad, n_valid = estimate_solution_and_gradient(
+        fl._wost_scene, fl.walk_settings, pts, jax.random.PRNGKey(0),
+        source_args=(div_grid,))
+    want = np.asarray(p_star(pts))
+    gx = -k * np.sin(k * (np.asarray(pts)[:, 0] - ss[0])) \
+        * np.cos(k * (np.asarray(pts)[:, 1] - ss[2]))
+    gy = -k * np.cos(k * (np.asarray(pts)[:, 0] - ss[0])) \
+        * np.sin(k * (np.asarray(pts)[:, 1] - ss[2]))
+    np.testing.assert_allclose(np.asarray(p), want, atol=0.08)
+    np.testing.assert_allclose(np.asarray(grad),
+                               np.stack([gx, gy], -1), atol=0.25)
+
+
+def test_adv_ref_variant_runs():
+    fl = tiny_fluid(max_n_iters=100, adv_ref=True)
+    st = fl.init_state(0)
+    st = fl.add_source(st)
+    st1 = fl.step(st)
+    u = np.asarray(fl.sample_velocity_grid(st1, 8))
+    assert np.all(np.isfinite(u))
