@@ -1,0 +1,81 @@
+"""Benchmark: sec/frame of the 2D karman step at reference scale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The frame matches the reference cost structure (BASELINE.md): an advection
+fit + a projection fit (<=10k Adam iters each, 128^2 samples/iter, early
+stop 1.1e-10) around one WoSt solve (512^2 = 262,144 pressure points x 500
+walks, sigma=350, RR 0.99) with a 1000^2 autodiff divergence grid — all
+on-device. The first step compiles + warms; the second is timed.
+
+vs_baseline: the reference publishes no wall-clock (BASELINE.json.published
+is empty). If a measured reference time exists in BASELINE_WALL.json
+({"karman_2d_sec_per_frame": N}, to be filled by re-running the reference's
+C++ zombie solver on this host), vs_baseline = baseline/ours (>1 means
+faster than the reference); otherwise 1.0.
+
+Env overrides for quick checks: NMCFLUID_BENCH_SCALE (divides resolutions),
+NMCFLUID_BENCH_ITERS (caps Adam iters).
+"""
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    from nmcfluid.scenes import get_scene
+    from nmcfluid.sim import NeuralFluid
+    from nmcfluid.wost.solver import WalkSettings
+
+    scale = int(os.environ.get("NMCFLUID_BENCH_SCALE", "1"))
+    iters = os.environ.get("NMCFLUID_BENCH_ITERS")
+
+    scene = get_scene("karman")
+    fluid = NeuralFluid(
+        scene,
+        max_n_iters=int(iters) if iters else scene.max_n_iters,
+        sample_resolution=max(8, scene.sample_resolution // scale),
+        wost_resolution=max(8, scene.wost_resolution // scale),
+        div_resolution=max(32, 1000 // scale),
+        walk_settings=scene.walk_settings(
+            n_walks=max(8, scene.n_walks // scale)))
+
+    state = fluid.init_state(0)
+    state = fluid.add_source(state)
+    state = state._replace(eps=state.eps / 2)    # main.py:161-163
+
+    t0 = time.time()
+    state = fluid.step(state)                     # compile + warm
+    jax.block_until_ready(state.params)
+    warm = time.time() - t0
+
+    t0 = time.time()
+    state = fluid.step(state)
+    jax.block_until_ready(state.params)
+    sec = time.time() - t0
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "BASELINE_WALL.json")) as f:
+            baseline = json.load(f).get("karman_2d_sec_per_frame")
+    except (OSError, json.JSONDecodeError):
+        pass
+    vs = (baseline / sec) if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "karman2d_sec_per_frame",
+        "value": round(sec, 3),
+        "unit": "s",
+        "vs_baseline": round(vs, 3),
+    }))
+    # secondary diagnostics on stderr-like extra line? keep contract: 1 line
+    with open("bench_detail.json", "w") as f:
+        json.dump({"warm_step_s": warm, "timed_step_s": sec,
+                   "scale": scale, "iters_cap": iters,
+                   "device": str(jax.devices()[0])}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+import sys
+import os
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def test_points_mesh_has_8_cpu_devices():
+    from nmcfluid.parallel import points_mesh
+    mesh = points_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_pressure_solve_matches_single_device():
+    """The WoSt solve is embarrassingly parallel over points: sharding the
+    cloud across the mesh must not change the estimates (same keys)."""
+    import dataclasses
+    from nmcfluid.parallel import points_mesh
+    from nmcfluid.scenes import get_scene
+    from nmcfluid.sim import NeuralFluid
+    from nmcfluid.sim.fluid import _pressure_solve
+    from nmcfluid.wost.solver import WalkSettings
+
+    scene = get_scene("taylorgreen")
+    scene = dataclasses.replace(scene, max_n_iters=2)
+    kw = dict(sample_resolution=8, wost_resolution=8, div_resolution=16,
+              walk_settings=WalkSettings(n_walks=16, walk_step_cap=16))
+    fl0 = NeuralFluid(scene, **kw)
+    fl8 = NeuralFluid(scene, mesh=points_mesh(), **kw)
+    st = fl0.init_state(0)
+    key = jax.random.PRNGKey(11)
+    pts0, v0, p0, g0 = _pressure_solve(fl0, st.params, key, st.eps,
+                                       st.timestep)
+    with fl8.mesh:
+        pts8, v8, p8, g8 = _pressure_solve(fl8, st.params, key, st.eps,
+                                           st.timestep)
+    np.testing.assert_allclose(np.asarray(pts0), np.asarray(pts8), atol=0)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p8), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g8), rtol=2e-5,
+                               atol=1e-5)
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4096, 2)
+    g.dryrun_multichip(8)
