@@ -1,0 +1,81 @@
+"""Space-time PINN baseline in JAX.
+
+Rebuild of experiments/pinnFluid/model.py:163-205: one velocity network
+u(x, y, t) and one pressure network p(x, y, t) trained jointly over the
+whole time range with a composite loss
+  init  : u(x, 0) = TG
+  bound : zero normal wall velocity at random times
+  main  : du/dt + (u . grad) u + grad p = 0   (inviscid NS residual)
+  div   : div u = 0
+then evaluated per-frame for the error curve.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .common import (SirenConfig, adam_fit, apply_siren, init_siren,
+                     sample_boundary, sample_interior, tg_velocity)
+
+
+class PINNFluid:
+    def __init__(self, num_hidden_layers=6, hidden_features=64, lr=1e-5,
+                 max_n_iters=20_000, sample_resolution=64, t_range=0.05):
+        self.u_cfg = SirenConfig(3, 2, num_hidden_layers, hidden_features)
+        self.p_cfg = SirenConfig(3, 1, num_hidden_layers, hidden_features)
+        self.lr = lr
+        self.max_n_iters = max_n_iters
+        self.n = sample_resolution ** 2
+        self.t_range = t_range
+
+    def init(self, seed=0):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        return dict(u=init_siren(k1, self.u_cfg),
+                    p=init_siren(k2, self.p_cfg))
+
+    def velocity(self, state, x, t):
+        xt = jnp.concatenate([x, jnp.broadcast_to(
+            jnp.asarray(t, jnp.float32), x.shape[:-1])[..., None]], -1)
+        return apply_siren(state["u"], self.u_cfg, xt)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train(self, state, key):
+        def loss_fn(st, ki):
+            k0, k1, k2, k3 = jax.random.split(ki, 4)
+            # init
+            x0 = sample_interior(k0, self.n)
+            xt0 = jnp.concatenate([x0, jnp.zeros((self.n, 1))], -1)
+            li = jnp.mean((apply_siren(st["u"], self.u_cfg, xt0)
+                           - tg_velocity(x0)) ** 2)
+            # boundary
+            xv, xh = sample_boundary(k1, self.n // 100)
+            tb = jax.random.uniform(k2, (self.n // 100, 1)) * self.t_range
+            lv = apply_siren(st["u"], self.u_cfg,
+                             jnp.concatenate([xv, tb], -1))[..., 0]
+            lh = apply_siren(st["u"], self.u_cfg,
+                             jnp.concatenate([xh, tb], -1))[..., 1]
+            lb = jnp.mean(lv ** 2) + jnp.mean(lh ** 2)
+            # residuals
+            x = sample_interior(k3, self.n)
+            tt = jax.random.uniform(jax.random.fold_in(k3, 1),
+                                    (self.n, 1)) * self.t_range
+            xt = jnp.concatenate([x, tt], -1)
+
+            def u_fn(q):
+                return apply_siren(st["u"], self.u_cfg, q)
+
+            def p_fn(q):
+                return jnp.reshape(apply_siren(st["p"], self.p_cfg, q), ())
+
+            jac = jax.vmap(jax.jacfwd(u_fn))(xt)       # (N, 2, 3)
+            u = u_fn(xt)
+            div = jac[..., 0, 0] + jac[..., 1, 1]
+            dudt = jac[..., 2]
+            adv = (u[..., :1] * jac[..., 0] + u[..., 1:] * jac[..., 1])
+            gp = jax.vmap(jax.grad(p_fn))(xt)[..., :2]
+            resid = dudt + adv + gp
+            lm = jnp.mean(resid ** 2)
+            ld = jnp.mean(div ** 2)
+            return li + lb + lm + ld
+        st, i, l = adam_fit(state, key, loss_fn, self.lr, self.max_n_iters)
+        return st, i, l

@@ -1,0 +1,84 @@
+"""Baseline comparison harness: reproduce the published TG error table.
+
+`python -m nmcfluid.baselines.run {insr,pinn,pideeponet} [--frames 50]`
+writes error_<method>.txt (per-frame mean |u - u_TG|^2 on a 1000^2 grid),
+the format of final_material/error_txt/error_*.txt.
+"""
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from .common import tg_error_curve_grid
+from .insr import INSRFluid
+from .pinn import PINNFluid
+from .pideeponet import PIDeepONetFluid
+
+
+def error_of(vel_fn, coords, truth, chunk=200_000):
+    flat = coords.reshape(-1, 2)
+    outs = []
+    for i in range(0, flat.shape[0], chunk):
+        outs.append(np.asarray(vel_fn(flat[i:i + chunk])))
+    u = np.concatenate(outs).reshape(truth.shape)
+    return float(np.mean(np.sum((u - truth) ** 2, axis=-1)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("method", choices=["insr", "pinn", "pideeponet"])
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--dt", type=float, default=0.001)
+    ap.add_argument("--max_n_iters", type=int, default=None)
+    ap.add_argument("--sample_resolution", type=int, default=64)
+    ap.add_argument("--grid", type=int, default=1000)
+    ap.add_argument("--out", default="results/baselines")
+    args = ap.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    coords, truth = tg_error_curve_grid(args.grid)
+    errors = []
+    key = jax.random.PRNGKey(0)
+
+    if args.method == "insr":
+        m = INSRFluid(dt=args.dt,
+                      max_n_iters=args.max_n_iters or 10_000,
+                      sample_resolution=args.sample_resolution)
+        st = m.init()
+        st["vel"], i, l = m.fit_source(st["vel"], key)[0:3]
+        for f in range(args.frames):
+            t0 = time.time()
+            st = m.step(st, jax.random.fold_in(key, f + 1))
+            e = error_of(lambda x: m._vel(st["vel"], x), coords, truth)
+            errors.append(e)
+            print(f"frame {f + 1}: err={e:.6e} ({time.time() - t0:.1f}s)",
+                  flush=True)
+    else:
+        t_range = args.frames * args.dt
+        if args.method == "pinn":
+            m = PINNFluid(t_range=t_range,
+                          max_n_iters=args.max_n_iters or 20_000,
+                          sample_resolution=args.sample_resolution)
+        else:
+            m = PIDeepONetFluid(t_range=t_range,
+                                max_n_iters=args.max_n_iters or 20_000,
+                                sample_resolution=args.sample_resolution)
+        st = m.init()
+        t0 = time.time()
+        st, i, l = m.train(st, key)
+        print(f"trained {int(i)} iters, loss {float(l):.3e} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+        for f in range(args.frames):
+            t = (f + 1) * args.dt
+            e = error_of(lambda x: m.velocity(st, x, t), coords, truth)
+            errors.append(e)
+            print(f"frame {f + 1}: err={e:.6e}", flush=True)
+
+    path = os.path.join(args.out, f"error_{args.method}.txt")
+    np.savetxt(path, errors)
+    print(f"mean error {np.mean(errors):.6e} -> {path}")
+
+
+if __name__ == "__main__":
+    main()
