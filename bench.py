@@ -24,6 +24,11 @@ import time
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     os.path.join(os.path.dirname(__file__),
+                                                  ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from nmcfluid.scenes import get_scene
     from nmcfluid.sim import NeuralFluid
     from nmcfluid.wost.solver import WalkSettings

@@ -15,6 +15,14 @@ import numpy as np
 
 import jax
 
+# Persistent compilation cache: the remote-compile service this image
+# tunnels through takes minutes for the walk program; cache executables
+# across processes so each program compiles once per machine.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/repo/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .scenes import get_scene, SCENES
 from .sim import NeuralFluid
 from .sim import sampling

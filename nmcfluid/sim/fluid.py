@@ -190,7 +190,8 @@ class NeuralFluid:
 
     def _project(self, state, params_init, prev, k_wost, k_fit):
         """WoSt pressure solve + projection fit (model_split.py:245-284)."""
-        pts, valid, p, grad_p = _pressure_solve(self, prev, k_wost,
+        div_grid = _divergence_grid(self, prev, state.eps, state.timestep)
+        pts, valid, p, grad_p = _pressure_solve(self, div_grid, k_wost,
                                                 state.eps, state.timestep)
         if self.mesh is not None:
             pass  # pts already laid out by _pressure_solve's sharding hint
@@ -345,11 +346,12 @@ def _divergence_grid(fluid, prev, eps, t):
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _pressure_solve(fluid, prev, key, eps, t):
+def _pressure_solve(fluid, div_grid, key, eps, t):
     """Pressure cloud + WoSt solution/gradient with the reference's
     boundary masking (grid.h:155-237): p and grad p are zeroed within
     boundaryDistanceMask of the Neumann boundary; grad p additionally
-    outside the domain."""
+    outside the domain. The divergence grid is computed by its own jit
+    (_divergence_grid) and passed in, keeping this program small."""
     scene = fluid.scene
     k1, k2 = jax.random.split(key)
     pts, valid = sampling.fluid_points(k1, fluid.n_pressure, scene)
@@ -357,7 +359,6 @@ def _pressure_solve(fluid, prev, key, eps, t):
         from jax.sharding import NamedSharding, PartitionSpec
         pts = jax.lax.with_sharding_constraint(
             pts, NamedSharding(fluid.mesh, PartitionSpec("points", None)))
-    div_grid = _divergence_grid(fluid, prev, eps, t)
     p, grad_p, n_valid = estimate_solution_and_gradient(
         fluid._wost_scene, fluid.walk_settings, pts, k2,
         source_args=(div_grid,))

@@ -20,7 +20,7 @@ def test_sharded_pressure_solve_matches_single_device():
     from nmcfluid.parallel import points_mesh
     from nmcfluid.scenes import get_scene
     from nmcfluid.sim import NeuralFluid
-    from nmcfluid.sim.fluid import _pressure_solve
+    from nmcfluid.sim.fluid import _divergence_grid, _pressure_solve
     from nmcfluid.wost.solver import WalkSettings
 
     scene = get_scene("taylorgreen")
@@ -31,10 +31,11 @@ def test_sharded_pressure_solve_matches_single_device():
     fl8 = NeuralFluid(scene, mesh=points_mesh(), **kw)
     st = fl0.init_state(0)
     key = jax.random.PRNGKey(11)
-    pts0, v0, p0, g0 = _pressure_solve(fl0, st.params, key, st.eps,
-                                       st.timestep)
+    div0 = _divergence_grid(fl0, st.params, st.eps, st.timestep)
+    pts0, v0, p0, g0 = _pressure_solve(fl0, div0, key, st.eps, st.timestep)
     with fl8.mesh:
-        pts8, v8, p8, g8 = _pressure_solve(fl8, st.params, key, st.eps,
+        div8 = _divergence_grid(fl8, st.params, st.eps, st.timestep)
+        pts8, v8, p8, g8 = _pressure_solve(fl8, div8, key, st.eps,
                                            st.timestep)
     np.testing.assert_allclose(np.asarray(pts0), np.asarray(pts8), atol=0)
     np.testing.assert_allclose(np.asarray(p0), np.asarray(p8), rtol=2e-5,
