@@ -81,6 +81,10 @@ class NeuralFluid:
             1000 if scene.dim == 2 else scene.vis_resolution)
         self.n_batch = self.sample_resolution ** 2        # both 2D and 3D
         self.n_pressure = self.wost_resolution ** 2       # SURVEY.md 3.1/3.3
+        # the walk program is solved in chunks of <= 64k points: one
+        # compiled program reused across chunks, and the v5e worker faults
+        # on the 262k-point 2D cloud in a single launch (measured)
+        self.wost_chunk = min(self.n_pressure, 65536)
         self.walk_settings = walk_settings or scene.walk_settings(
             n_walks=n_walks or scene.n_walks)
         self.siren_cfg = SirenConfig(
@@ -191,8 +195,10 @@ class NeuralFluid:
     def _project(self, state, params_init, prev, k_wost, k_fit):
         """WoSt pressure solve + projection fit (model_split.py:245-284)."""
         div_grid = _divergence_grid(self, prev, state.eps, state.timestep)
-        pts, valid, p, grad_p = _pressure_solve(self, div_grid, k_wost,
-                                                state.eps, state.timestep)
+        chunks = [_pressure_solve(self, div_grid, jax.random.fold_in(
+            k_wost, c), state.eps, state.timestep)
+            for c in range(self.n_pressure // self.wost_chunk)]
+        pts, valid, p, grad_p = (jnp.concatenate(xs) for xs in zip(*chunks))
         if self.mesh is not None:
             pass  # pts already laid out by _pressure_solve's sharding hint
         P = jnp.mean(p)     # model_split.py:219
@@ -354,7 +360,7 @@ def _pressure_solve(fluid, div_grid, key, eps, t):
     (_divergence_grid) and passed in, keeping this program small."""
     scene = fluid.scene
     k1, k2 = jax.random.split(key)
-    pts, valid = sampling.fluid_points(k1, fluid.n_pressure, scene)
+    pts, valid = sampling.fluid_points(k1, fluid.wost_chunk, scene)
     if fluid.mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         pts = jax.lax.with_sharding_constraint(
