@@ -9,11 +9,30 @@ control flow.
 """
 import jax.numpy as jnp
 
+from . import analytic2d
+from .analytic2d import Analytic2D
 from .soup2d import Seg2D, FAR
+
+
+def _dispatch(name):
+    """Route Analytic2D boundaries to their closed-form queries; padded
+    segment soups keep the brute-force path."""
+    def deco(fn):
+        afn = getattr(analytic2d, name)
+
+        def wrapper(soup, *a, **kw):
+            if isinstance(soup, Analytic2D):
+                return afn(soup, *a, **kw)
+            return fn(soup, *a, **kw)
+        wrapper.__name__ = fn.__name__
+        wrapper.__doc__ = fn.__doc__
+        return wrapper
+    return deco
 
 OFFSET_EPS = 3e-5  # stand-in for fcpw's ~256-ULP offsetPointAlongDirection
 
 
+@_dispatch("closest_point")
 def closest_point(soup: Seg2D, x):
     """Closest boundary point. Returns (dist, signed_dist, point, normal).
 
@@ -35,19 +54,23 @@ def closest_point(soup: Seg2D, x):
     return dist, sign * dist, pt, nrm
 
 
+@_dispatch("distance")
 def distance(soup: Seg2D, x):
     return closest_point(soup, x)[0]
 
 
+@_dispatch("signed_distance")
 def signed_distance(soup: Seg2D, x):
     return closest_point(soup, x)[1]
 
 
+@_dispatch("inside")
 def inside(soup: Seg2D, x):
     """insideDomain: sign of the signed distance (fcpw_scene_loader.h:642-648)."""
     return signed_distance(soup, x) < 0.0
 
 
+@_dispatch("ray_intersect")
 def ray_intersect(soup: Seg2D, o, d, t_max):
     """First ray hit against the soup within t_max.
 
@@ -73,6 +96,7 @@ def ray_intersect(soup: Seg2D, o, d, t_max):
     return hit, t_hit, pt, nrm
 
 
+@_dispatch("has_line_of_sight")
 def has_line_of_sight(soup: Seg2D, x, y):
     """True if the open segment x->y does not cross the soup
     (fcpw Aggregate::hasLineOfSight, used by intersectsWithNeumann)."""
@@ -83,6 +107,7 @@ def has_line_of_sight(soup: Seg2D, x, y):
     return ~hit
 
 
+@_dispatch("star_radius")
 def star_radius(soup: Seg2D, x, min_radius, max_radius):
     """Distance to the closest silhouette vertex, else max_radius.
 
@@ -104,6 +129,7 @@ def star_radius(soup: Seg2D, x, min_radius, max_radius):
     return jnp.maximum(r, min_radius)
 
 
+@_dispatch("dist_to_far_bbox_corner")
 def dist_to_far_bbox_corner(soup: Seg2D, x):
     """zombie's computeDistToDirichlet fallback when there is no Dirichlet
     boundary: sqrt of the max squared distance to the bounding box
@@ -113,5 +139,6 @@ def dist_to_far_bbox_corner(soup: Seg2D, x):
     return jnp.linalg.norm(far, axis=-1)
 
 
+@_dispatch("outside_bbox")
 def outside_bbox(soup: Seg2D, x):
     return jnp.any((x < soup.bmin) | (x > soup.bmax), axis=-1)

@@ -6,7 +6,25 @@ region-classified point-triangle projection; rays use Moller-Trumbore.
 """
 import jax.numpy as jnp
 
+from . import analytic3d
+from .analytic3d import Box3D
 from .soup3d import Tri3D, FAR
+
+
+def _dispatch(name):
+    """Route Box3D boundaries to closed forms (see queries2d)."""
+    def deco(fn):
+        afn = getattr(analytic3d, name)
+
+        def wrapper(soup, *a, **kw):
+            if isinstance(soup, Box3D):
+                return afn(soup, *a, **kw)
+            return fn(soup, *a, **kw)
+        wrapper.__name__ = fn.__name__
+        wrapper.__doc__ = fn.__doc__
+        return wrapper
+    return deco
+
 
 OFFSET_EPS = 3e-5
 
@@ -53,6 +71,7 @@ def _closest_on_tri(p, a, b, c):
     return pt
 
 
+@_dispatch("closest_point")
 def closest_point(soup: Tri3D, x):
     """Returns (dist, signed_dist, point, normal); negative sign = inside."""
     p = _closest_on_tri(x[..., None, :], soup.va, soup.vb, soup.vc)
@@ -65,18 +84,22 @@ def closest_point(soup: Tri3D, x):
     return dist, sign * dist, pt, nrm
 
 
+@_dispatch("distance")
 def distance(soup: Tri3D, x):
     return closest_point(soup, x)[0]
 
 
+@_dispatch("signed_distance")
 def signed_distance(soup: Tri3D, x):
     return closest_point(soup, x)[1]
 
 
+@_dispatch("inside")
 def inside(soup: Tri3D, x):
     return signed_distance(soup, x) < 0.0
 
 
+@_dispatch("ray_intersect")
 def ray_intersect(soup: Tri3D, o, d, t_max):
     """Moller-Trumbore against all triangles; first hit within t_max."""
     e1 = soup.vb - soup.va
@@ -101,6 +124,7 @@ def ray_intersect(soup: Tri3D, o, d, t_max):
     return hit, t_hit, pt, nrm
 
 
+@_dispatch("has_line_of_sight")
 def has_line_of_sight(soup: Tri3D, x, y):
     d = y - x
     ln = jnp.linalg.norm(d, axis=-1)
@@ -109,6 +133,7 @@ def has_line_of_sight(soup: Tri3D, x, y):
     return ~hit
 
 
+@_dispatch("star_radius")
 def star_radius(soup: Tri3D, x, min_radius, max_radius):
     """Closest silhouette-edge point within max_radius, else max_radius."""
     if soup.ea.shape[0] == 0:
@@ -130,10 +155,12 @@ def star_radius(soup: Tri3D, x, min_radius, max_radius):
     return jnp.maximum(r, min_radius)
 
 
+@_dispatch("dist_to_far_bbox_corner")
 def dist_to_far_bbox_corner(soup: Tri3D, x):
     far = jnp.maximum(jnp.abs(x - soup.bmin), jnp.abs(x - soup.bmax))
     return jnp.linalg.norm(far, axis=-1)
 
 
+@_dispatch("outside_bbox")
 def outside_bbox(soup: Tri3D, x):
     return jnp.any((x < soup.bmin) | (x > soup.bmax), axis=-1)

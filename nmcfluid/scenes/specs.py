@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import sdf
+from ..geometry.analytic2d import make_analytic2d, FAR
+from ..geometry.analytic3d import make_box3d
 from ..geometry.soup2d import (Seg2D, build_segments, box_loop,
                                circle_loop_cw, polyline_chain, polyline_loop)
 from ..geometry.soup3d import Tri3D, box_tris, build_triangles
@@ -190,15 +192,34 @@ def _karman3d_source(spec, x, key):
 
 # ----------------------------------------------------------------- geometry
 
-def _tg_boundary(spec) -> Seg2D:
+def _tg_boundary(spec):
+    """Closed square box — analytic closed-form queries (O(1) per walk
+    step instead of a 40-segment reduction)."""
+    return make_analytic2d((TG_LO, TG_LO), (TG_HI, TG_HI))
+
+
+def _tg_boundary_soup(spec) -> Seg2D:
+    """Segment-soup variant of the TG box (the reference's 40-segment
+    square.obj); kept for analytic-vs-soup equivalence tests."""
     return build_segments([box_loop(TG_LO, TG_HI, TG_LO, TG_HI,
                                     n_per_side=10)])
 
 
-def _karman_boundary(spec) -> Seg2D:
-    """Open channel: bottom/top wall chains + clockwise circle obstacle.
-    Matches the reference asset's topology (4 open endpoints + closed
-    40-gon); normals out of the fluid."""
+def _karman_boundary(spec):
+    """Open channel (y walls only; inlet/outlet open) + exact circle
+    obstacle; the wall-chain corner endpoints are always-silhouette points
+    like the reference asset's open-chain endpoints."""
+    x0, x1, y0, y1 = KARMAN_BBOX
+    corners = [(x0, y0), (x1, y0), (x0, y1), (x1, y1)]
+    return make_analytic2d((-FAR, y0), (FAR, y1),
+                           circles=[(*KARMAN_OBS_C, KARMAN_OBS_R)],
+                           sil_pts=corners,
+                           bbox=((x0, y0), (x1, y1)))
+
+
+def _karman_boundary_soup(spec) -> Seg2D:
+    """The reference asset's topology: two open 20-segment wall chains +
+    a clockwise 40-gon circle; normals out of the fluid."""
     x0, x1, y0, y1 = KARMAN_BBOX
     xs = np.linspace(x0, x1, 21)
     bottom = polyline_chain(np.stack([xs, np.full_like(xs, y0)], 1)[::-1])
@@ -223,7 +244,13 @@ def _jpipe_boundary(spec) -> Seg2D:
                            polyline_chain(np.asarray(inner)[::-1])])
 
 
-def _cube_boundary(spec) -> Tri3D:
+def _cube_boundary(spec):
+    """Closed cube — analytic slab queries, no silhouettes."""
+    return make_box3d((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+
+
+def _cube_boundary_soup(spec) -> Tri3D:
+    """12-triangle soup variant (the reference's cube.obj) for tests."""
     v, f = box_tris((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
     return build_triangles(v, f)
 
