@@ -197,6 +197,7 @@ def main(argv=None):
     if scene.name == "karman":
         state = state._replace(eps=state.eps / 2)
 
+    energy = []
     for _ in range(n_steps):
         t0 = time.time()
         state = fluid.step(state)
@@ -206,6 +207,10 @@ def main(argv=None):
         save_ckpt(model_dir, state.params, t)
         if args.draw:
             draw_frame(fluid, state, dirs, t)
+        if scene.dim == 3:
+            # kinetic-energy curve (3d/main.py:168-179)
+            energy.append(float(fluid.kinetic_energy(state)))
+            np.savetxt(os.path.join(exp_dir, "energy.txt"), energy)
 
     if args.density:
         run_density(fluid, args, exp_dir, model_dir)
