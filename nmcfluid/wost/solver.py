@@ -61,6 +61,7 @@ class WalkSettings:
     russian_roulette_threshold: float = 0.99
     max_walk_length: int = 10_000
     steps_before_tikhonov: int = 0
+    steps_before_maximal_spheres: int = 10_000
     n_walks: int = 500
     walk_step_cap: int = 64
     rejection_rounds: int = 16
@@ -172,10 +173,13 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
     rr = settings.russian_roulette_threshold
     soup = scene.neumann
     use_yukawa = scene.absorption > 0.0
-    if use_yukawa and settings.steps_before_tikhonov != 0:
-        raise NotImplementedError(
-            "mid-walk Tikhonov switch: all shipped configs use "
-            "setpsBeforeApplyingTikhonov=0")
+    # mid-walk Tikhonov (walk_on_stars.h:319-321): harmonic Green's fn for
+    # the first K steps, Yukawa afterwards — per lane, selected by step
+    # count. K = 0 (every shipped config) keeps the single-greens path.
+    K_tik = settings.steps_before_tikhonov
+    mixed = use_yukawa and K_tik > 0
+    g_harm = greens2d.Harmonic2D if D == 2 else greens3d.Harmonic3D
+    M_max = settings.steps_before_maximal_spheres
 
     def cond(carry):
         it, st = carry
@@ -191,8 +195,15 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
         star = jnp.where(settings.min_star_radius <= dd,
                          jnp.maximum(RADIUS_SHRINK * star,
                                      settings.min_star_radius), star)
+        if M_max < settings.max_walk_length:
+            # maximal-sphere mode after M steps (walk_on_stars.h:162-164):
+            # radius = dist to Dirichlet, no silhouette constraint/shrink
+            star = jnp.where(st.steps >= M_max, dd, star)
         R = jnp.where(st.first_radius > 0.0, st.first_radius, star)
         ball = greens.make_ball(R)
+        if mixed:
+            ball_h = g_harm.make_ball(R)
+            on_yukawa = st.steps >= K_tik
 
         u_dir = jax.random.uniform(jax.random.fold_in(kstep, 0),
                                    rand_shape + (D - 1,))
@@ -219,6 +230,9 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
             vis = q.has_line_of_sight(soup, o_eff, bpt)
             ok = (bpdf > 0.0) & (bdist < R) & vis
             G = greens.eval(ball, jnp.maximum(bdist, greens2d.R_CLAMP))
+            if mixed:
+                G = jnp.where(on_yukawa, G, g_harm.eval(
+                    ball_h, jnp.maximum(bdist, greens2d.R_CLAMP)))
             h = scene.neumann_fn(bpt)
             acc = acc + jnp.where(active & ok,
                                   st.thr * alpha * G * h / bpdf, 0.0)
@@ -227,15 +241,23 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
         if not settings.ignore_source:
             ks = jax.random.fold_in(kstep, 2)
             r_src, _ = greens.sample_radius(ball, ks)
+            g_norm = greens.norm(ball)
+            if mixed:
+                r_h, _ = g_harm.sample_radius(ball_h, ks)
+                r_src = jnp.where(on_yukawa, r_src, r_h)
+                g_norm = jnp.where(on_yukawa, g_norm, g_harm.norm(ball_h))
             y = st.x + r_src[..., None] * d
             take = r_src <= t_hit
-            contrib = greens.norm(ball) * scene.source_fn(y, *source_args)
+            contrib = g_norm * scene.source_fn(y, *source_args)
             acc = acc + jnp.where(active & take, st.thr * contrib, 0.0)
 
         escaped = (~hit) & q.outside_bbox(soup, new_pt)
 
         r_new = jnp.linalg.norm(new_pt - st.x, axis=-1)
-        thr = st.thr * greens.dspk(ball, r_new)
+        dspk = greens.dspk(ball, r_new)
+        if mixed:
+            dspk = jnp.where(on_yukawa, dspk, g_harm.dspk(ball_h, r_new))
+        thr = st.thr * dspk
         u_rr = jax.random.uniform(jax.random.fold_in(kstep, 3), rand_shape)
         u_rr = jnp.broadcast_to(u_rr, thr.shape)
         below = thr < rr
@@ -358,6 +380,11 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     greens = scene.greens()
     q = scene.qmod()
     D = scene.dim
+    # Tikhonov starting only after K steps means the FIRST ball (sampled
+    # here, before any step) uses the harmonic Green's function
+    g1 = greens
+    if scene.absorption > 0.0 and settings.steps_before_tikhonov > 0:
+        g1 = greens2d.Harmonic2D if D == 2 else greens3d.Harmonic3D
     n_walks = n_walks or settings.n_walks
     n_pairs = max(1, n_walks // 2) \
         if settings.use_gradient_antithetic_variates else n_walks
@@ -369,10 +396,10 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     R1 = RADIUS_SHRINK * jnp.minimum(nd, dd)            # walk_on_stars.h:486
     degenerate = R1 <= 1e-6                              # on/next to boundary
     R1 = jnp.maximum(R1, 1e-6)
-    ball1 = greens.make_ball(R1)
-    norm1 = greens.norm(ball1)
-    thr1 = greens.pk_over_uniform(ball1)
-    pk_coeff = greens.pk_grad_coeff(ball1)
+    ball1 = g1.make_ball(R1)
+    norm1 = g1.norm(ball1)
+    thr1 = g1.pk_over_uniform(ball1)
+    pk_coeff = g1.pk_grad_coeff(ball1)
     b_pdf = pdf_unit_sphere(D)
 
     rot = jax.random.uniform(jax.random.fold_in(key, 0xC0FFEE), (N, D - 1))
@@ -393,7 +420,7 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
         u_s = _stratified_pair_u(jax.random.fold_in(kw, 0), w, n_pairs,
                                  rot, D)
         dir_s = unit_sphere_from_u(u_s, D)               # (N, D)
-        r_s, eval_s = greens.sample_radius(ball1, jax.random.fold_in(kw, 1))
+        r_s, eval_s = g1.sample_radius(ball1, jax.random.fold_in(kw, 1))
         y_vol = pts[None] + signs * (r_s[:, None] * dir_s)[None]   # (A,N,D)
         if settings.ignore_source:
             first_src = jnp.zeros((n_anti, N), jnp.float32)
@@ -401,7 +428,7 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
         else:
             first_src = norm1[None] * scene.source_fn(y_vol, *source_args)
             # sourceGradientDirection = grad/(pdf*norm) = d * grad_norm/eval
-            sgd = (signs * dir_s[None]) * (r_s * greens.grad_norm(ball1, r_s)
+            sgd = (signs * dir_s[None]) * (r_s * g1.grad_norm(ball1, r_s)
                                            / jnp.maximum(eval_s, 1e-30)
                                            )[None, :, None]
 

@@ -135,3 +135,29 @@ def test_unscreened_poisson_2d():
     # here we only check the screened paths dominate the test suite; the
     # sigma=0 configuration is exercised for compile coverage.
     assert np.all(np.isfinite(np.asarray(p)))
+
+
+def test_mid_walk_tikhonov_and_maximal_spheres_options(scene2d):
+    """Parity options: Yukawa deferred to step K (walk_on_stars.h:319-321)
+    and maximal spheres after step M (:162-164). On the convex box the
+    maximal-sphere variant must match the default (the star radius is
+    never silhouette-limited); the Tikhonov-deferred variant is a biased
+    regularization scheme — smoke-check it stays finite and in range."""
+    pts = jnp.asarray([[1.0, 1.0], [0.5, 0.7]], dtype=jnp.float32)
+    base = WalkSettings(walk_step_cap=96)
+    p0, n0, _ = estimate_solution(scene2d, base, pts,
+                                  jax.random.PRNGKey(7), 2000)
+    maxsph = WalkSettings(walk_step_cap=96, steps_before_maximal_spheres=2)
+    p1, n1, _ = estimate_solution(scene2d, maxsph, pts,
+                                  jax.random.PRNGKey(7), 2000)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=0.08)
+
+    tik = WalkSettings(walk_step_cap=96, steps_before_tikhonov=3)
+    p2, n2, _ = estimate_solution(scene2d, tik, pts,
+                                  jax.random.PRNGKey(7), 2000)
+    assert np.all(np.isfinite(np.asarray(p2)))
+    assert np.all(np.asarray(n2) > 1000)
+    p3, g3, _ = estimate_solution_and_gradient(scene2d, tik, pts,
+                                               jax.random.PRNGKey(8), 2000)
+    assert np.all(np.isfinite(np.asarray(p3)))
+    assert np.all(np.isfinite(np.asarray(g3)))
