@@ -65,6 +65,7 @@ class SceneSpec:
     karman_vel: float = 0.5
     src_duration: int = 1               # config.py --src_duration default
     nonlinearity: str = "sine"
+    sample_pattern: str = "random"      # config.py --sample (all examples)
     # WoSt block (wost.json; identical across shipped examples)
     absorption: float = 350.0
     n_walks: int = 500

@@ -267,7 +267,9 @@ def _fit_source(fluid, params0, key, eps, t):
         @staticmethod
         def batch(kb):
             k1, k2 = jax.random.split(kb)
-            pts, valid = sampling.fluid_points(k1, fluid.n_batch, scene)
+            pts, valid = sampling.training_points(
+                k1, fluid.n_batch, scene, scene.sample_pattern,
+                fluid.sample_resolution)
             target = scene.source_velocity(pts, key=k2)
             return pts, target, valid.astype(jnp.float32)
 
@@ -288,7 +290,9 @@ def _fit_advect(fluid, flag, params0, prev, tilde, dt, key, eps, t):
     class B:
         @staticmethod
         def batch(kb):
-            pts, valid = sampling.fluid_points(kb, fluid.n_batch, scene)
+            pts, valid = sampling.training_points(
+                kb, fluid.n_batch, scene, scene.sample_pattern,
+                fluid.sample_resolution)
             u_prev = fluid.velocity(prev, pts, eps=eps, t=t)
             back = jnp.clip(pts - u_prev * dt, fluid._bbox_lo,
                             fluid._bbox_hi)           # model_split.py:99-100

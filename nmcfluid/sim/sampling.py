@@ -51,6 +51,30 @@ def random_points(key, n, scene_size):
     return lo + u * (hi - lo)
 
 
+def training_points(key, n, scene, pattern="random", resolution=None):
+    """sample_in_training's three patterns (base.py:226-251): 'random',
+    'uniform' (cell-centered grid + boundary), 'random+uniform' (half
+    each). Non-random patterns are truncated/padded to n for static
+    shapes. Returns (pts, valid)."""
+    if pattern == "random":
+        return fluid_points(key, n, scene)
+    grid = uniform_grid(scene.scene_size, resolution or
+                        int(round(n ** (1.0 / scene.dim))),
+                        with_boundary=True).reshape(-1, scene.dim)
+    if pattern == "uniform":
+        reps = -(-n // grid.shape[0])
+        pts = jnp.tile(grid, (reps, 1))[:n]
+        return pts, scene.fluid_mask(pts)
+    if pattern == "random+uniform":
+        half = n // 2
+        r, rv = fluid_points(key, n - half, scene)
+        reps = -(-half // grid.shape[0])
+        g = jnp.tile(grid, (reps, 1))[:half]
+        pts = jnp.concatenate([r, g])
+        return pts, jnp.concatenate([rv, scene.fluid_mask(g)])
+    raise NotImplementedError(pattern)
+
+
 def fluid_points(key, n, scene, rounds: int = 8):
     """Random points restricted to the fluid region by fixed-round rejection.
 
