@@ -43,6 +43,22 @@ def build_parser():
     p.add_argument("--n_walks", type=int, default=None)
     p.add_argument("--walk_step_cap", type=int, default=64)
     p.add_argument("--adv_ref", type=int, default=0)
+    # scene-hyperparameter overrides (config.py:87-156 argparse surface)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--dt", type=float, default=None)
+    p.add_argument("--bdry_eps", type=float, default=None)
+    p.add_argument("--karman_vel", type=float, default=None)
+    p.add_argument("--num_hidden_layers", type=int, default=None)
+    p.add_argument("--hidden_features", type=int, default=None)
+    p.add_argument("--nonlinearity", default=None,
+                   choices=["sine", "relu", "elu", "tanh"])
+    p.add_argument("--sample", default=None, dest="sample_pattern",
+                   choices=["random", "uniform", "random+uniform"])
+    p.add_argument("--reset_wts", type=int, default=None)
+    p.add_argument("--src_duration", type=int, default=None)
+    p.add_argument("--vis_resolution", type=int, default=None)
+    p.add_argument("--vel_vis_resolution", type=int, default=None)
+    p.add_argument("--early_stop_loss", type=float, default=None)
     p.add_argument("--ckpt", type=int, default=-1,
                    help="resume from step N (config.py --ckpt)")
     p.add_argument("--seed", type=int, default=0)
@@ -55,8 +71,24 @@ def build_parser():
     return p
 
 
-def make_fluid(args):
+def scene_with_overrides(args):
+    import dataclasses
     scene = get_scene(args.scene)
+    over = {}
+    for f in ("lr", "dt", "bdry_eps", "karman_vel", "num_hidden_layers",
+              "hidden_features", "nonlinearity", "sample_pattern",
+              "src_duration", "vis_resolution", "vel_vis_resolution",
+              "early_stop_loss"):
+        v = getattr(args, f)
+        if v is not None:
+            over[f] = v
+    if args.reset_wts is not None:
+        over["reset_wts"] = bool(args.reset_wts)
+    return dataclasses.replace(scene, **over) if over else scene
+
+
+def make_fluid(args):
+    scene = scene_with_overrides(args)
     mesh = None
     if args.mesh:
         from .parallel import points_mesh
@@ -161,7 +193,7 @@ def run_density(fluid, args, exp_dir, model_dir):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    scene = get_scene(args.scene)
+    scene = scene_with_overrides(args)
     exp = args.exp_name or args.scene
     exp_dir = os.path.join(args.out, exp)
     model_dir = os.path.join(exp_dir, "model")
