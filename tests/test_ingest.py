@@ -81,3 +81,16 @@ def test_scene_from_obj_with_interior_obstacle(tmp_path):
     assert spec.boundary.a.shape[0] >= 8
     m = np.asarray(spec.fluid_mask(jnp.asarray([[2.0, 1.0], [0.5, 0.5]])))
     assert not m[0] and m[1]
+
+
+def test_pfm_roundtrip(tmp_path):
+    from nmcfluid.utils.pfm import read_pfm, write_pfm
+    a = np.random.default_rng(0).standard_normal((7, 5)).astype(np.float32)
+    p = os.path.join(tmp_path, "x.pfm")
+    write_pfm(p, a)
+    b, scale = read_pfm(p)
+    np.testing.assert_array_equal(a, b)
+    c = np.random.default_rng(1).random((4, 6, 3)).astype(np.float32)
+    write_pfm(p, c)
+    d, _ = read_pfm(p)
+    np.testing.assert_array_equal(c, d)
