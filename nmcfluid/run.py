@@ -159,6 +159,11 @@ def run_density(fluid, args, exp_dir, model_dir):
         import pyopenvdb as vdb  # optional (README Setup)
     except ImportError:
         pass
+    # vortex_collide ships a red/blue ring color grid in every frame's VDB
+    # (3d/move_density.py:112-116,230-243)
+    col = None
+    if scene.name == "vortex_collide":
+        col = np.asarray(init_density(scene, 200)[1])
     for t, d_grid, vel, err in transport_rollout(
             fluid, params_iter(),
             n=(1000 if scene.dim == 2 else 200)):
@@ -176,13 +181,21 @@ def run_density(fluid, args, exp_dir, model_dir):
             velg.copyFromArray(np.asarray(vel))
             velg.transform = vdb.createLinearTransform(voxelSize=0.01)
             velg.name = "vel"
+            grids = [den, velg]
+            if col is not None:
+                cg = vdb.Vec3SGrid()
+                cg.copyFromArray(col)
+                cg.transform = vdb.createLinearTransform(voxelSize=0.01)
+                cg.name = "Cd"
+                grids.append(cg)
             vdb.write(os.path.join(dens_dir, f"density_t{t:03d}.vdb"),
-                      grids=[den, velg])
+                      grids=grids)
         else:
+            extra = {"Cd": col} if col is not None else {}
             np.savez_compressed(os.path.join(dens_dir,
                                              f"density_t{t:03d}.npz"),
                                 density=np.asarray(d_grid),
-                                vel=np.asarray(vel))
+                                vel=np.asarray(vel), **extra)
         if err is not None:
             errors.append(err)
             print(f"density t={t} tg_err={err:.6e}")
