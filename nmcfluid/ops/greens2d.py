@@ -71,6 +71,23 @@ class Harmonic2D:
         return (1.0 / (r * r) - 1.0 / (ball.R * ball.R)) / TWO_PI
 
     @staticmethod
+    def pk_grad_over_thr(ball):
+        """poissonKernelGradient coeff / directionSampledPoissonKernel —
+        the ratio the gradient estimator actually needs. Computed jointly
+        so the e^{-Z} factors cancel analytically: for sigma = 350 on
+        scene-sized balls both factors underflow float32 individually and
+        the naive quotient explodes (observed 1e19 pressure gradients)."""
+        return 2.0 / (TWO_PI * ball.R * ball.R)
+
+    @staticmethod
+    def grad_norm_over_eval(ball, r):
+        """gradient(r)/evaluate(r), e^{-z}-free (same rationale)."""
+        r = jnp.clip(r, R_CLAMP, 0.999 * ball.R)
+        num = 1.0 / (r * r) - 1.0 / (ball.R * ball.R)
+        den = jnp.maximum(jnp.log(ball.R / r), 1e-12)
+        return num / den
+
+    @staticmethod
     def radial_pdf(ball, r):
         # pdf of the sampled radius = [eval/norm] * 2*pi*r  (marginal over angle)
         return 4.0 * r * jnp.log(ball.R / r) / (ball.R * ball.R)
@@ -146,6 +163,24 @@ class Yukawa2D:
         z = self.sqrt_lam * r
         q = k1e(z) - i1e(z) * (ball.k1e_R / ball.i1e_R) * self._cross(ball, z)
         return self.sqrt_lam * jnp.exp(-z) * q / (TWO_PI * r)
+
+    def pk_grad_over_thr(self, ball):
+        """[sqrt(lam) e^{-Z}/(2pi R I1)] / [e^{-Z}/I0] with e^{-Z}
+        cancelled: sqrt(lam) i0e(Z)/(2pi R i1e(Z)). Bounded for all Z —
+        see Harmonic2D.pk_grad_over_thr for why the naive quotient is
+        catastrophic at large Z."""
+        return self.sqrt_lam * ball.i0e_R \
+            / (TWO_PI * ball.R * ball.i1e_R)
+
+    def grad_norm_over_eval(self, ball, r):
+        """sqrt(lam) q1/(r q0) with the shared e^{-z} cancelled;
+        q0, q1 -> 0 together as r -> R, so r is clipped just inside."""
+        r = jnp.clip(r, R_CLAMP, 0.999 * ball.R)
+        z = self.sqrt_lam * r
+        c = self._cross(ball, z)
+        q0 = k0e(z) - i0e(z) * (ball.k0e_R / ball.i0e_R) * c
+        q1 = k1e(z) - i1e(z) * (ball.k1e_R / ball.i1e_R) * c
+        return self.sqrt_lam * q1 / (r * jnp.maximum(q0, 1e-10))
 
     def radial_pdf(self, ball, r):
         return self.eval(ball, r) * TWO_PI * r / self.norm(ball)

@@ -81,6 +81,18 @@ class Harmonic3D:
         return (1.0 / (r * r * r) - 1.0 / (ball.R ** 3)) / FOUR_PI
 
     @staticmethod
+    def pk_grad_over_thr(ball):
+        """See greens2d: the e^{-Z}-free quotient the estimator needs."""
+        return 3.0 / (FOUR_PI * ball.R * ball.R)
+
+    @staticmethod
+    def grad_norm_over_eval(ball, r):
+        r = jnp.clip(r, R_CLAMP, 0.999 * ball.R)
+        num = 1.0 / (r ** 3) - 1.0 / (ball.R ** 3)
+        den = jnp.maximum(1.0 / r - 1.0 / ball.R, 1e-12)
+        return num / den
+
+    @staticmethod
     def radial_pdf(ball, r):
         # [eval/norm] * 4 pi r^2 = 6 r (R - r) / R^3
         return 6.0 * r * (ball.R - r) / (ball.R ** 3)
@@ -142,6 +154,21 @@ class Yukawa3D:
         z = self.sqrt_lam * r
         q = _k32e(z) - _i32e(z) * (ball.k32e_R / ball.i32e_R) * self._cross(ball, z)
         return self.sqrt_lam * jnp.exp(-z) * q / (FOUR_PI * r * r)
+
+    def pk_grad_over_thr(self, ball):
+        """[lam e^{-Z}/(4pi I32)] / [Z e^{-Z}/sh] with e^{-Z} cancelled:
+        sqrt(lam) sh_e(Z) / (4pi R i32e(Z)). Bounded for all Z."""
+        return self.sqrt_lam * ball.sh_e_R \
+            / (FOUR_PI * ball.R * ball.i32e_R)
+
+    def grad_norm_over_eval(self, ball, r):
+        """sqrt(lam) q1/(r q0), e^{-z}-free (see greens2d)."""
+        r = jnp.clip(r, R_CLAMP, 0.999 * ball.R)
+        z = self.sqrt_lam * r
+        c = self._cross(ball, z)
+        q0 = 1.0 - (_sh_e(z) / ball.sh_e_R) * c
+        q1 = _k32e(z) - _i32e(z) * (ball.k32e_R / ball.i32e_R) * c
+        return self.sqrt_lam * q1 / (r * jnp.maximum(q0, 1e-10))
 
     def radial_pdf(self, ball, r):
         return self.eval(ball, r) * FOUR_PI * r * r / self.norm(ball)

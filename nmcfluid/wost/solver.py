@@ -399,7 +399,10 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     ball1 = g1.make_ball(R1)
     norm1 = g1.norm(ball1)
     thr1 = g1.pk_over_uniform(ball1)
-    pk_coeff = g1.pk_grad_coeff(ball1)
+    # e^{-Z}-free ratio: pk_grad_coeff/thr1 computed jointly — the naive
+    # quotient explodes when both factors underflow f32 at large Z (this
+    # produced 1e19 pressure gradients and blew up the projection fit)
+    pk_ratio = g1.pk_grad_over_thr(ball1)
     b_pdf = pdf_unit_sphere(D)
 
     rot = jax.random.uniform(jax.random.fold_in(key, 0xC0FFEE), (N, D - 1))
@@ -428,9 +431,9 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
         else:
             first_src = norm1[None] * scene.source_fn(y_vol, *source_args)
             # sourceGradientDirection = grad/(pdf*norm) = d * grad_norm/eval
-            sgd = (signs * dir_s[None]) * (r_s * g1.grad_norm(ball1, r_s)
-                                           / jnp.maximum(eval_s, 1e-30)
-                                           )[None, :, None]
+            # — as an e^{-z}-free joint ratio (same underflow rationale)
+            sgd = (signs * dir_s[None]) * (
+                r_s * g1.grad_norm_over_eval(ball1, r_s))[None, :, None]
 
         # first boundary step to the ball surface, antithetic mirrored
         u_b = _stratified_pair_u(jax.random.fold_in(kw, 2), w, n_pairs,
@@ -438,9 +441,7 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
         dir_b = unit_sphere_from_u(u_b, D)
         y_surf = pts[None] + signs * (R1[:, None] * dir_b)[None]   # (A,N,D)
         # boundaryGradientDirection = pkGradient/(b_pdf * throughput)
-        bgd = (signs * dir_b[None]) * (pk_coeff * R1
-                                       / (b_pdf * jnp.maximum(thr1, 1e-30))
-                                       )[None, :, None]
+        bgd = (signs * dir_b[None]) * (pk_ratio * R1 / b_pdf)[None, :, None]
 
         st = WalkState(
             x=y_surf,

@@ -163,3 +163,36 @@ def test_grad_norm_matches_double():
     np.testing.assert_allclose(
         np.asarray(greens3d.Harmonic3D.grad_norm(b3, jnp.asarray(r, dtype=jnp.float32))),
         (1 / r**3 - 1 / R**3) / (4 * np.pi), rtol=1e-4)
+
+
+def test_stable_gradient_ratios_match_naive_at_moderate_Z():
+    import jax.numpy as jnp
+    from nmcfluid.ops.greens2d import Yukawa2D
+    from nmcfluid.ops.greens3d import Yukawa3D
+    for G in (Yukawa2D(30.0), Yukawa3D(30.0)):
+        ball = G.make_ball(jnp.asarray([0.1, 0.3, 0.6], jnp.float32))
+        naive = np.asarray(G.pk_grad_coeff(ball) / G.pk_over_uniform(ball))
+        stable = np.asarray(G.pk_grad_over_thr(ball))
+        np.testing.assert_allclose(stable, naive, rtol=1e-4)
+        r = jnp.asarray([0.05, 0.1, 0.2], jnp.float32)
+        naive_g = np.asarray(G.grad_norm(ball, r) / G.eval(ball, r))
+        stable_g = np.asarray(G.grad_norm_over_eval(ball, r))
+        np.testing.assert_allclose(stable_g, naive_g, rtol=1e-3)
+
+
+def test_stable_gradient_ratios_bounded_at_large_Z():
+    """sigma=350 on scene-sized balls: the individual factors underflow
+    f32; the joint ratios must stay finite and moderate."""
+    import jax.numpy as jnp
+    from nmcfluid.ops.greens2d import Yukawa2D
+    from nmcfluid.ops.greens3d import Yukawa3D
+    for G in (Yukawa2D(350.0), Yukawa3D(350.0)):
+        R = jnp.asarray([1.0, 3.0, 6.0], jnp.float32)
+        ball = G.make_ball(R)
+        assert float(np.asarray(G.pk_over_uniform(ball)).max()) == 0.0 \
+            or float(np.asarray(G.pk_over_uniform(ball)).min()) < 1e-20
+        s = np.asarray(G.pk_grad_over_thr(ball))
+        assert np.all(np.isfinite(s)) and np.all(s > 0) and np.all(s < 1e3)
+        r = 0.5 * R
+        g = np.asarray(G.grad_norm_over_eval(ball, r))
+        assert np.all(np.isfinite(g)) and np.all(np.abs(g) < 1e4)

@@ -161,3 +161,33 @@ def test_mid_walk_tikhonov_and_maximal_spheres_options(scene2d):
                                                jax.random.PRNGKey(8), 2000)
     assert np.all(np.isfinite(np.asarray(p3)))
     assert np.all(np.isfinite(np.asarray(g3)))
+
+
+def test_gradient_bounded_at_sigma350_scene_scale():
+    """Regression: at sigma=350 on the 2pi-size box, points far from the
+    boundary have first-ball Z ~ 50+; the gradient estimator must stay
+    bounded and accurate (the naive pk/thr quotient produced 1e19)."""
+    L6 = 6.279106
+    k6 = 2 * np.pi / L6
+    sig = 350.0
+
+    def src(x):
+        return (sig + 2 * k6 * k6) * jnp.cos(k6 * x[..., 0]) \
+            * jnp.cos(k6 * x[..., 1])
+
+    soup = build_segments([box_loop(0.0, L6, 0.0, L6, n_per_side=4)])
+    scene = WostScene(dim=2, neumann=soup, source_fn=src, absorption=sig)
+    pts = jnp.asarray([[3.14, 3.14], [2.0, 2.6], [1.2, 4.4], [3.0, 1.0]],
+                      jnp.float32)
+    p, grad, n = estimate_solution_and_gradient(
+        scene, WalkSettings(walk_step_cap=64), pts, jax.random.PRNGKey(0),
+        500)
+    g = np.asarray(grad)
+    assert np.all(np.isfinite(g)) and np.abs(g).max() < 1.0, g
+    want_p = np.asarray(jnp.cos(k6 * pts[:, 0]) * jnp.cos(k6 * pts[:, 1]))
+    np.testing.assert_allclose(np.asarray(p), want_p, atol=0.05)
+    gx = -k6 * np.sin(k6 * np.asarray(pts)[:, 0]) \
+        * np.cos(k6 * np.asarray(pts)[:, 1])
+    gy = -k6 * np.cos(k6 * np.asarray(pts)[:, 0]) \
+        * np.sin(k6 * np.asarray(pts)[:, 1])
+    np.testing.assert_allclose(g, np.stack([gx, gy], -1), atol=0.15)
