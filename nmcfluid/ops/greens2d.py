@@ -99,13 +99,19 @@ class Harmonic2D:
     @staticmethod
     def sample_radius(ball, key, rounds: int = 0):
         """Inverse-CDF draw of the radius (see ops.radial_tables)."""
+        return Harmonic2D.sample_radius_u(
+            ball, jax.random.uniform(key, ball.R.shape + (2,)))
+
+    @staticmethod
+    def sample_radius_u(ball, u2):
+        """As sample_radius from caller-supplied uniforms (..., 2)."""
         from . import radial_tables as rt
         global _H2D_TABLE
         if _H2D_TABLE is None:
             # numpy on purpose: a jnp constant created under one trace
             # would leak into later traces via this cache
             _H2D_TABLE = rt.build_harmonic2d_table().astype("float32")
-        t = rt.sample_t_harmonic2d(_H2D_TABLE, ball.R.shape, key)
+        t = rt.sample_t_harmonic2d_u(_H2D_TABLE, u2[..., 0])
         r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
         return r, Harmonic2D.eval(ball, r)
 
@@ -201,8 +207,12 @@ class Yukawa2D:
         """Inverse-CDF draw (table over Z = sqrt(lam)*R): replaces the
         reference's loose-envelope rejection, whose acceptance collapses
         at the fluid's sigma=350 on scene-sized balls."""
+        return self.sample_radius_u(
+            ball, jax.random.uniform(key, ball.R.shape + (2,)))
+
+    def sample_radius_u(self, ball, u2):
         from . import radial_tables as rt
-        t = rt.sample_t_screened(self._table, ball.Z, key)
+        t = rt.sample_t_screened_u(self._table, ball.Z, u2[..., 0])
         r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
         return r, self.eval(ball, r)
 

@@ -100,10 +100,14 @@ class Harmonic3D:
     @staticmethod
     def sample_radius(ball, key, rounds: int = 0):
         """Ulrich's polar method, closed form (distributions.h:483-496)."""
-        u = jax.random.uniform(key, (2,) + ball.R.shape)
-        phi = 2.0 * jnp.pi * u[1]
-        r = (1.0 + jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.cbrt(u[0] * u[0])))
-             * jnp.cos(phi)) * ball.R / 2.0
+        return Harmonic3D.sample_radius_u(
+            ball, jax.random.uniform(key, ball.R.shape + (2,)))
+
+    @staticmethod
+    def sample_radius_u(ball, u2):
+        phi = 2.0 * jnp.pi * u2[..., 1]
+        r = (1.0 + jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.cbrt(
+            u2[..., 0] ** 2))) * jnp.cos(phi)) * ball.R / 2.0
         r = jnp.maximum(r, R_CLAMP)
         r = jnp.where(r > ball.R, ball.R / 2.0, r)
         return r, Harmonic3D.eval(ball, r)
@@ -187,7 +191,11 @@ class Yukawa3D:
 
     def sample_radius(self, ball, key, rounds: int = 0):
         """Inverse-CDF draw (see greens2d.Yukawa2D.sample_radius)."""
+        return self.sample_radius_u(
+            ball, jax.random.uniform(key, ball.R.shape + (2,)))
+
+    def sample_radius_u(self, ball, u2):
         from . import radial_tables as rt
-        t = rt.sample_t_screened(self._table, ball.Z, key)
+        t = rt.sample_t_screened_u(self._table, ball.Z, u2[..., 0])
         r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
         return r, self.eval(ball, r)

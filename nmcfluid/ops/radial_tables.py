@@ -75,8 +75,12 @@ _DLOG = (math.log(_Z_MAX) - _LOG_Z_MIN) / (_N_Z - 1)
 
 def sample_t_screened(table, Z, key):
     """Sample t = r/R via bilinear inverse-CDF lookup. Z, out: same shape."""
+    return sample_t_screened_u(table, Z, jax.random.uniform(key, Z.shape))
+
+
+def sample_t_screened_u(table, Z, u):
+    """As sample_t_screened but from a caller-supplied uniform draw."""
     table = jnp.asarray(table)  # host tables convert per-trace (trace-safe)
-    u = jax.random.uniform(key, Z.shape)
     zi = (jnp.log(jnp.clip(Z, _Z_MIN, _Z_MAX)) - _LOG_Z_MIN) / _DLOG
     i0 = jnp.clip(jnp.floor(zi).astype(jnp.int32), 0, _N_Z - 2)
     wi = jnp.clip(zi - i0, 0.0, 1.0)
@@ -92,8 +96,11 @@ def sample_t_screened(table, Z, key):
 
 
 def sample_t_harmonic2d(table, shape, key):
+    return sample_t_harmonic2d_u(table, jax.random.uniform(key, shape))
+
+
+def sample_t_harmonic2d_u(table, u):
     table = jnp.asarray(table)
-    u = jax.random.uniform(key, shape)
     uj = u * (_N_U - 1)
     j0 = jnp.clip(jnp.floor(uj).astype(jnp.int32), 0, _N_U - 2)
     wj = uj - j0

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..geometry import queries2d, queries3d
 from ..geometry.soup2d import Seg2D
-from ..ops import greens2d, greens3d
+from ..ops import fastrand, greens2d, greens3d
 from ..ops.sampling import unit_sphere_from_u, pdf_unit_sphere
 
 RADIUS_SHRINK = 0.99  # walk_on_stars.h:9
@@ -70,6 +70,11 @@ class WalkSettings:
     ignore_source: bool = False
     use_gradient_control_variates: bool = True
     use_gradient_antithetic_variates: bool = True
+    # counter-based PCG hash for the per-step walk draws (ops.fastrand):
+    # ~10 ALU ops per uniform instead of threefry's ~100+, the dominant
+    # per-step cost of the lockstep loop. Statistically validated
+    # (tests/test_fastrand, analytic estimator tests run both ways).
+    fast_rng: bool = True
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # id-hash: stable jit cache key
@@ -181,6 +186,19 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
     g_harm = greens2d.Harmonic2D if D == 2 else greens3d.Harmonic3D
     M_max = settings.steps_before_maximal_spheres
 
+    if settings.fast_rng:
+        seed = fastrand.seed_from_key(key)
+        lanes = fastrand.lane_iota(rand_shape)
+
+    def _udraw(kstep, it, salt, shape):
+        """One uniform per lane: PCG hash stream (fast path) or threefry."""
+        if settings.fast_rng:
+            return jnp.broadcast_to(
+                fastrand.uniform(seed, it, salt, lanes), shape)
+        return jnp.broadcast_to(
+            jax.random.uniform(jax.random.fold_in(kstep, salt + 16),
+                               rand_shape), shape)
+
     def cond(carry):
         it, st = carry
         return (it < settings.walk_step_cap) & jnp.any(st.status == ACTIVE)
@@ -205,8 +223,8 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
             ball_h = g_harm.make_ball(R)
             on_yukawa = st.steps >= K_tik
 
-        u_dir = jax.random.uniform(jax.random.fold_in(kstep, 0),
-                                   rand_shape + (D - 1,))
+        u_dir = jnp.stack([_udraw(kstep, it, s_, rand_shape)
+                           for s_ in range(D - 1)], axis=-1)
         d = unit_sphere_from_u(u_dir, D)
         d = jnp.broadcast_to(d, st.x.shape)
         flip = st.on_neumann & (jnp.sum(st.n * d, -1) > 0.0)
@@ -239,11 +257,12 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
 
         # ---- source term: radius along the walk direction, star-clipped
         if not settings.ignore_source:
-            ks = jax.random.fold_in(kstep, 2)
-            r_src, _ = greens.sample_radius(ball, ks)
+            u2 = jnp.stack([_udraw(kstep, it, 4, ball.R.shape),
+                            _udraw(kstep, it, 5, ball.R.shape)], axis=-1)
+            r_src, _ = greens.sample_radius_u(ball, u2)
             g_norm = greens.norm(ball)
             if mixed:
-                r_h, _ = g_harm.sample_radius(ball_h, ks)
+                r_h, _ = g_harm.sample_radius_u(ball_h, u2)
                 r_src = jnp.where(on_yukawa, r_src, r_h)
                 g_norm = jnp.where(on_yukawa, g_norm, g_harm.norm(ball_h))
             y = st.x + r_src[..., None] * d
@@ -258,8 +277,7 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
         if mixed:
             dspk = jnp.where(on_yukawa, dspk, g_harm.dspk(ball_h, r_new))
         thr = st.thr * dspk
-        u_rr = jax.random.uniform(jax.random.fold_in(kstep, 3), rand_shape)
-        u_rr = jnp.broadcast_to(u_rr, thr.shape)
+        u_rr = _udraw(kstep, it, 3, thr.shape)
         below = thr < rr
         die = below & (thr / rr < u_rr)
         thr = jnp.where(below & ~die, rr, thr)
