@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--n_walks", type=int, default=None)
     p.add_argument("--walk_step_cap", type=int, default=64)
     p.add_argument("--adv_ref", type=int, default=0)
+    p.add_argument("--projection", default="wost",
+                   choices=["wost", "spectral"],
+                   help="MC walk-on-stars (reference) or deterministic "
+                        "DCT grid solve (fast, exact on box scenes)")
     # scene-hyperparameter overrides (config.py:87-156 argparse surface)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--dt", type=float, default=None)
@@ -104,6 +108,7 @@ def make_fluid(args):
                        div_resolution=args.div_resolution,
                        walk_settings=ws,
                        adv_ref=bool(args.adv_ref),
+                       projection=args.projection,
                        mesh=mesh)
 
 

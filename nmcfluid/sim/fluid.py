@@ -68,9 +68,14 @@ class NeuralFluid:
                  n_walks: Optional[int] = None,
                  walk_settings: Optional[WalkSettings] = None,
                  adv_ref: bool = False,
+                 projection: str = "wost",
                  mesh=None):
+        """projection: 'wost' (the reference's Monte Carlo pressure solve)
+        or 'spectral' (deterministic DCT grid solve on the divergence grid
+        — exact for box scenes, a fast mode with zero MC variance)."""
         self.scene = scene
         self.adv_ref = adv_ref
+        self.projection = projection
         self.mesh = mesh
         self.max_n_iters = max_n_iters or scene.max_n_iters
         self.sample_resolution = sample_resolution or scene.sample_resolution
@@ -193,12 +198,17 @@ class NeuralFluid:
                               P=P, key=key)
 
     def _project(self, state, params_init, prev, k_wost, k_fit):
-        """WoSt pressure solve + projection fit (model_split.py:245-284)."""
+        """Pressure solve + projection fit (model_split.py:245-284)."""
         div_grid = _divergence_grid(self, prev, state.eps, state.timestep)
-        chunks = [_pressure_solve(self, div_grid, jax.random.fold_in(
-            k_wost, c), state.eps, state.timestep)
-            for c in range(self.n_pressure // self.wost_chunk)]
-        pts, valid, p, grad_p = (jnp.concatenate(xs) for xs in zip(*chunks))
+        if self.projection == "spectral":
+            pts, valid, p, grad_p = _pressure_solve_spectral(
+                self, div_grid, k_wost, state.eps, state.timestep)
+        else:
+            chunks = [_pressure_solve(self, div_grid, jax.random.fold_in(
+                k_wost, c), state.eps, state.timestep)
+                for c in range(self.n_pressure // self.wost_chunk)]
+            pts, valid, p, grad_p = (jnp.concatenate(xs)
+                                     for xs in zip(*chunks))
         if self.mesh is not None:
             pass  # pts already laid out by _pressure_solve's sharding hint
         P = jnp.mean(p)     # model_split.py:219
@@ -372,6 +382,31 @@ def _pressure_solve(fluid, div_grid, key, eps, t):
     p, grad_p, n_valid = estimate_solution_and_gradient(
         fluid._wost_scene, fluid.walk_settings, pts, k2,
         source_args=(div_grid,))
+    dist = fluid.q.distance(scene.boundary, pts)
+    signed = fluid.q.signed_distance(scene.boundary, pts)
+    mask_near = jnp.abs(dist) < scene.boundary_distance_mask
+    p = jnp.where(mask_near, 0.0, p)
+    bad = mask_near | (signed >= 0.0) | ~valid
+    grad_p = jnp.where(bad[:, None], 0.0, grad_p)
+    return pts, valid, p, grad_p
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _pressure_solve_spectral(fluid, div_grid, key, eps, t):
+    """Deterministic projection: DCT screened-Poisson solve of the same
+    divergence grid (sim.spectral), sampled at the same kind of random
+    pressure cloud with the same boundary masking — a zero-variance
+    drop-in for the MC stage (exact Neumann solve on box scenes)."""
+    from .spectral import grid_gradient, solve_screened_poisson
+    scene = fluid.scene
+    pts, valid = sampling.fluid_points(key, fluid.n_pressure, scene)
+    p_grid = solve_screened_poisson(div_grid, scene.scene_size,
+                                    scene.absorption)
+    g_grid = grid_gradient(p_grid, scene.scene_size)
+    ss = scene.scene_size
+    p = sampling.nearest_lookup(p_grid, ss, pts)
+    grad_p = jnp.stack([sampling.nearest_lookup(g_grid[..., i], ss, pts)
+                        for i in range(scene.dim)], axis=-1)
     dist = fluid.q.distance(scene.boundary, pts)
     signed = fluid.q.signed_distance(scene.boundary, pts)
     mask_near = jnp.abs(dist) < scene.boundary_distance_mask
