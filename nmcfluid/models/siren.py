@@ -14,11 +14,9 @@ Design notes (TPU):
   * All matmuls are (batch, H) x (H, H) — with H in {64, 128} and batches of
     128^2..512^2 points they tile cleanly onto the MXU. Weights stay f32
     (they are <=200k numbers; accuracy of the PDE fit dominates, not HBM).
-  * Biases follow torch.nn.Linear's default U(+-1/sqrt(fan_in)) — the
-    reference's init paths only override weights (networks.py:78-90), so
-    its sine units keep randomly-phased biases; matching this measurably
-    improves the per-phase fit floor (zero biases give a poorer initial
-    sine basis).
+  * Biases are zero-init: torch.nn.Linear's default U(+-1/sqrt(fan_in)) bias
+    init is noise the SIREN paper does not rely on; zero keeps the first
+    activations in sin's linear regime. (Deliberate deviation, documented.)
 """
 import dataclasses
 import math
@@ -54,7 +52,6 @@ def init_siren(key, cfg: SirenConfig) -> Params:
     dims = _layer_dims(cfg)
     keys = jax.random.split(key, len(dims))
     for i, ((fan_in, fan_out), k) in enumerate(zip(dims, keys)):
-        k, kb = jax.random.split(k)
         if cfg.nonlinearity == "sine":
             if i == 0:
                 bound = 1.0 / fan_in          # first_layer_sine_init
@@ -68,8 +65,7 @@ def init_siren(key, cfg: SirenConfig) -> Params:
         else:  # relu / tanh: normal(0, std)
             w = cfg.normal_init_std * jax.random.normal(
                 k, (fan_in, fan_out), jnp.float32)
-        bb = 1.0 / math.sqrt(fan_in)     # torch.nn.Linear default
-        b = jax.random.uniform(kb, (fan_out,), jnp.float32, -bb, bb)
+        b = jnp.zeros((fan_out,), jnp.float32)
         params.append((w, b))
     return params
 
