@@ -43,6 +43,8 @@ def build_parser():
     p.add_argument("--n_walks", type=int, default=None)
     p.add_argument("--walk_step_cap", type=int, default=64)
     p.add_argument("--adv_ref", type=int, default=0)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"])
     p.add_argument("--projection", default="wost",
                    choices=["wost", "spectral"],
                    help="MC walk-on-stars (reference) or deterministic "
@@ -109,6 +111,7 @@ def make_fluid(args):
                        walk_settings=ws,
                        adv_ref=bool(args.adv_ref),
                        projection=args.projection,
+                       lr_schedule=args.lr_schedule,
                        mesh=mesh)
 
 

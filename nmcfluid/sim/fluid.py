@@ -69,13 +69,21 @@ class NeuralFluid:
                  walk_settings: Optional[WalkSettings] = None,
                  adv_ref: bool = False,
                  projection: str = "wost",
+                 lr_schedule: str = "constant",
                  mesh=None):
         """projection: 'wost' (the reference's Monte Carlo pressure solve)
         or 'spectral' (deterministic DCT grid solve on the divergence grid
-        — exact for box scenes, a fast mode with zero MC variance)."""
+        — exact for box scenes, a fast mode with zero MC variance).
+
+        lr_schedule: 'constant' (the reference's fixed 1e-5 Adam) or
+        'cosine' (decay to lr/100 across the phase). With constant lr and a
+        warm start, Adam's normalized updates keep wandering at a ~lr-sized
+        function-space noise floor — phase fits *end worse than they
+        start*; the decay lets each phase converge."""
         self.scene = scene
         self.adv_ref = adv_ref
         self.projection = projection
+        self.lr_schedule = lr_schedule
         self.mesh = mesh
         self.max_n_iters = max_n_iters or scene.max_n_iters
         self.sample_resolution = sample_resolution or scene.sample_resolution
@@ -240,7 +248,12 @@ def _adam_fit(fluid, params0, key, batch_fn):
     """The reference's _training_loop (base.py:129-152): Adam until the loss
     dips under early_stop_loss or max_n_iters, entirely on-device."""
     scene = fluid.scene
-    opt = optax.adam(scene.lr)
+    if fluid.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(scene.lr, fluid.max_n_iters,
+                                         alpha=0.01)
+    else:
+        lr = scene.lr
+    opt = optax.adam(lr)
     opt_state = opt.init(params0)
     tol = scene.early_stop_loss
     dim = scene.dim
