@@ -45,6 +45,8 @@ def build_parser():
     p.add_argument("--adv_ref", type=int, default=0)
     p.add_argument("--lr_schedule", default="constant",
                    choices=["constant", "cosine"])
+    p.add_argument("--param_ema", type=float, default=0.0,
+                   help="Polyak parameter averaging per phase (0 = off)")
     p.add_argument("--projection", default="wost",
                    choices=["wost", "spectral"],
                    help="MC walk-on-stars (reference) or deterministic "
@@ -112,6 +114,7 @@ def make_fluid(args):
                        adv_ref=bool(args.adv_ref),
                        projection=args.projection,
                        lr_schedule=args.lr_schedule,
+                       param_ema=args.param_ema,
                        mesh=mesh)
 
 

@@ -70,6 +70,7 @@ class NeuralFluid:
                  adv_ref: bool = False,
                  projection: str = "wost",
                  lr_schedule: str = "constant",
+                 param_ema: float = 0.0,
                  mesh=None):
         """projection: 'wost' (the reference's Monte Carlo pressure solve)
         or 'spectral' (deterministic DCT grid solve on the divergence grid
@@ -79,11 +80,16 @@ class NeuralFluid:
         'cosine' (decay to lr/100 across the phase). With constant lr and a
         warm start, Adam's normalized updates keep wandering at a ~lr-sized
         function-space noise floor — phase fits *end worse than they
-        start*; the decay lets each phase converge."""
+        start*; the decay lets each phase converge.
+
+        param_ema: exponential parameter averaging (Polyak) over the phase
+        — 0.0 disables; e.g. 0.999 returns a ~1000-iter average, washing
+        out the Adam end-point wander without touching the trajectory."""
         self.scene = scene
         self.adv_ref = adv_ref
         self.projection = projection
         self.lr_schedule = lr_schedule
+        self.param_ema = param_ema
         self.mesh = mesh
         self.max_n_iters = max_n_iters or scene.max_n_iters
         self.sample_resolution = sample_resolution or scene.sample_resolution
@@ -263,22 +269,28 @@ def _adam_fit(fluid, params0, key, batch_fn):
         se = jnp.sum((u - target) ** 2, axis=-1)
         return jnp.sum(w * se) / (jnp.maximum(jnp.sum(w), 1.0) * dim)
 
+    gamma = fluid.param_ema
+
     def cond(carry):
-        i, _, _, loss = carry
+        i, _, _, _, loss = carry
         return (i < fluid.max_n_iters) & (loss > tol)
 
     def body(carry):
-        i, params, opt_state, _ = carry
+        i, params, ema, opt_state, _ = carry
         kb = jax.random.fold_in(key, i)
         x, target, w = batch_fn.batch(kb)
         loss, grads = jax.value_and_grad(loss_fn)(params, x, target, w)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
-        return i + 1, params, opt_state, loss
+        if gamma > 0.0:
+            ema = jax.tree.map(lambda e, p: gamma * e + (1.0 - gamma) * p,
+                               ema, params)
+        return i + 1, params, ema, opt_state, loss
 
-    i, params, _, loss = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), params0, opt_state, jnp.float32(jnp.inf)))
-    return params, FitStats(iters=i, loss=loss)
+    i, params, ema, _, loss = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), params0, params0, opt_state,
+                     jnp.float32(jnp.inf)))
+    return (ema if gamma > 0.0 else params), FitStats(iters=i, loss=loss)
 
 
 @partial(jax.jit, static_argnums=(0,))
