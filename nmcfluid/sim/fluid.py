@@ -283,8 +283,13 @@ def _adam_fit(fluid, params0, key, batch_fn):
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         if gamma > 0.0:
-            ema = jax.tree.map(lambda e, p: gamma * e + (1.0 - gamma) * p,
-                               ema, params)
+            # track exactly until the last ~20% of the phase, then average:
+            # averaging the early transient would lag the new target
+            start = jnp.int32(int(fluid.max_n_iters * 0.8))
+            ema = jax.tree.map(
+                lambda e, p: jnp.where(i >= start,
+                                       gamma * e + (1.0 - gamma) * p, p),
+                ema, params)
         return i + 1, params, ema, opt_state, loss
 
     i, params, ema, _, loss = jax.lax.while_loop(
