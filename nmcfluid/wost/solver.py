@@ -70,6 +70,10 @@ class WalkSettings:
     ignore_source: bool = False
     use_gradient_control_variates: bool = True
     use_gradient_antithetic_variates: bool = True
+    # antithetic pairs advanced together as extra walker lanes per
+    # while_loop iteration: sequential step count drops by pair_batch x
+    # (the solve is iteration-overhead-bound at ~100k-lane widths)
+    pair_batch: int = 10
     # counter-based PCG hash for the per-step walk draws (ops.fastrand):
     # ~10 ALU ops per uniform instead of threefry's ~100+, the dominant
     # per-step cost of the lockstep loop. Statistically validated
@@ -426,17 +430,14 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     rot = jax.random.uniform(jax.random.fold_in(key, 0xC0FFEE), (N, D - 1))
     signs = jnp.asarray([1.0, -1.0], jnp.float32)[:n_anti, None, None]
 
-    def pair_body(w, carry):
-        (sum_sol, n_sol, sum_first, sum_grad, n_grad) = carry
+    def one_pair(w, cv_b, cv_s):
+        """One antithetic pair's contributions at every point: returns
+        (total (A,N), first_src (A,N), grad (A,N,D), valid (A,N)).
+        vmapped over a batch of pair indices so G pairs advance as extra
+        walker lanes of one while_loop instead of G sequential loops —
+        the solve is bound by sequential step-iteration overhead, not
+        per-lane math."""
         kw = jax.random.fold_in(key, w)
-        # control variates from running statistics (walk_on_stars.h:501-506)
-        if settings.use_gradient_control_variates:
-            cv_b = sum_sol / jnp.maximum(n_sol, 1)
-            cv_s = sum_first / jnp.maximum(n_sol, 1)
-        else:
-            cv_b = jnp.zeros_like(sum_sol)
-            cv_s = jnp.zeros_like(sum_first)
-
         # first source sample in the first ball, antithetic through center
         u_s = _stratified_pair_u(jax.random.fold_in(kw, 0), w, n_pairs,
                                  rot, D)
@@ -474,24 +475,42 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
         total, valid, _ = _walk(scene, greens, settings, st,
                                 jax.random.fold_in(kw, 3), (N,), source_args)
         valid = valid & ~degenerate[None]
-        vf = valid.astype(jnp.float32)
-
         boundary_contrib = total - first_src
         grad = ((boundary_contrib - cv_b[None])[..., None] * bgd
                 + (first_src - cv_s[None])[..., None] * sgd)   # (A,N,D)
+        return total, first_src, grad, valid
 
-        sum_sol = sum_sol + jnp.sum(vf * total, axis=0)
-        sum_first = sum_first + jnp.sum(vf * first_src, axis=0)
-        n_sol = n_sol + jnp.sum(valid, axis=0)
-        sum_grad = sum_grad + jnp.sum(vf[..., None] * grad, axis=0)
-        n_grad = n_grad + jnp.sum(valid, axis=0)
+    G = max(1, min(settings.pair_batch, n_pairs))
+    n_outer = -(-n_pairs // G)
+
+    def outer_body(o, carry):
+        (sum_sol, n_sol, sum_first, sum_grad, n_grad) = carry
+        # control variates from running statistics (walk_on_stars.h:501-506;
+        # here refreshed once per G-pair batch instead of per pair — the
+        # estimator stays unbiased, E[direction] = 0)
+        if settings.use_gradient_control_variates:
+            cv_b = sum_sol / jnp.maximum(n_sol, 1)
+            cv_s = sum_first / jnp.maximum(n_sol, 1)
+        else:
+            cv_b = jnp.zeros_like(sum_sol)
+            cv_s = jnp.zeros_like(sum_first)
+        w = o * G + jnp.arange(G)
+        total, first_src, grad, valid = jax.vmap(
+            one_pair, in_axes=(0, None, None))(w, cv_b, cv_s)   # (G,A,N,..)
+        valid = valid & (w < n_pairs)[:, None, None]   # padded pairs dropped
+        vf = valid.astype(jnp.float32)
+        sum_sol = sum_sol + jnp.sum(vf * total, axis=(0, 1))
+        sum_first = sum_first + jnp.sum(vf * first_src, axis=(0, 1))
+        n_sol = n_sol + jnp.sum(valid, axis=(0, 1))
+        sum_grad = sum_grad + jnp.sum(vf[..., None] * grad, axis=(0, 1))
+        n_grad = n_grad + jnp.sum(valid, axis=(0, 1))
         return (sum_sol, n_sol, sum_first, sum_grad, n_grad)
 
     init = (jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.int32),
             jnp.zeros((N,), jnp.float32), jnp.zeros((N, D), jnp.float32),
             jnp.zeros((N,), jnp.int32))
     sum_sol, n_sol, _, sum_grad, n_grad = \
-        jax.lax.fori_loop(0, n_pairs, pair_body, init)
+        jax.lax.fori_loop(0, n_outer, outer_body, init)
 
     p = sum_sol / jnp.maximum(n_sol, 1)
     grad = sum_grad / jnp.maximum(n_grad, 1)[..., None]
