@@ -71,9 +71,11 @@ class WalkSettings:
     use_gradient_control_variates: bool = True
     use_gradient_antithetic_variates: bool = True
     # antithetic pairs advanced together as extra walker lanes per
-    # while_loop iteration: sequential step count drops by pair_batch x
-    # (the solve is iteration-overhead-bound at ~100k-lane widths)
-    pair_batch: int = 10
+    # while_loop iteration. Measured on v5e at 65536x500: G=10 is SLOWER
+    # (15.9s vs 10.9s) — the solve is lane-throughput-bound and lockstep
+    # batches multiply wasted work on already-terminated lanes — so the
+    # default stays sequential; the knob remains for small point counts.
+    pair_batch: int = 1
     # counter-based PCG hash for the per-step walk draws (ops.fastrand):
     # ~10 ALU ops per uniform instead of threefry's ~100+, the dominant
     # per-step cost of the lockstep loop. Statistically validated
