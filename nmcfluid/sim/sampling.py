@@ -18,11 +18,13 @@ import jax.numpy as jnp
 
 
 def grid_resolutions(scene_size, resolution):
-    """Aspect-scaled per-axis counts: the shortest box edge gets
-    `resolution` cells (model_utils.py 2d:4-7, 3d:4-13)."""
+    """Aspect-scaled per-axis counts: the LONGEST box edge gets
+    `resolution` cells and the others scale down (model_utils.py 2d:4-7,
+    3d:4-13 — e.g. the karman channel at 1000 gives 1000 x 399, not
+    2505 x 1000)."""
     dim = len(scene_size) // 2
     ext = [scene_size[2 * i + 1] - scene_size[2 * i] for i in range(dim)]
-    m = min(ext)
+    m = max(ext)
     return tuple(max(1, int(round(resolution * e / m))) for e in ext)
 
 

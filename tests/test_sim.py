@@ -30,12 +30,12 @@ def tiny_fluid(name="taylorgreen", **over):
 
 def test_uniform_grid_matches_reference_convention():
     g = sampling.uniform_grid((0.0, 2.0, 0.0, 1.0), 4, with_boundary=False)
-    # shortest edge (y) gets 4 cells, x gets 8; cell-centered
-    assert g.shape == (8, 4, 2)
-    np.testing.assert_allclose(np.asarray(g[0, 0]), [0.125, 0.125])
-    np.testing.assert_allclose(np.asarray(g[-1, -1]), [1.875, 0.875])
+    # longest edge (x) gets 4 cells, y scales down to 2 (model_utils 2d:4-7)
+    assert g.shape == (4, 2, 2)
+    np.testing.assert_allclose(np.asarray(g[0, 0]), [0.25, 0.25])
+    np.testing.assert_allclose(np.asarray(g[-1, -1]), [1.75, 0.75])
     gb = sampling.uniform_grid((0.0, 2.0, 0.0, 1.0), 4, with_boundary=True)
-    assert gb.shape == (10, 6, 2)
+    assert gb.shape == (6, 4, 2)
     np.testing.assert_allclose(np.asarray(gb[0, 0]), [0.0, 0.0])
 
 
