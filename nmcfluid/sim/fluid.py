@@ -395,30 +395,40 @@ def _divergence_grid(fluid, prev, eps, t):
     return -div.reshape(pts.shape[:-1])
 
 
-@partial(jax.jit, static_argnums=(0,))
 def _pressure_solve(fluid, div_grid, key, eps, t):
     """Pressure cloud + WoSt solution/gradient with the reference's
     boundary masking (grid.h:155-237): p and grad p are zeroed within
     boundaryDistanceMask of the Neumann boundary; grad p additionally
-    outside the domain. The divergence grid is computed by its own jit
-    (_divergence_grid) and passed in, keeping this program small."""
-    scene = fluid.scene
+    outside the domain. NOT jitted as a whole: the estimator host-loops
+    over pair launches (see WalkSettings.pairs_per_launch)."""
     k1, k2 = jax.random.split(key)
-    pts, valid = sampling.fluid_points(k1, fluid.wost_chunk, scene)
+    pts, valid = _sample_pressure_cloud(fluid, k1)
+    p, grad_p, n_valid = estimate_solution_and_gradient(
+        fluid._wost_scene, fluid.walk_settings, pts, k2,
+        source_args=(div_grid,))
+    return (pts, valid) + _mask_pressure(fluid, pts, valid, p, grad_p)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _sample_pressure_cloud(fluid, key):
+    pts, valid = sampling.fluid_points(key, fluid.wost_chunk, fluid.scene)
     if fluid.mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         pts = jax.lax.with_sharding_constraint(
             pts, NamedSharding(fluid.mesh, PartitionSpec("points", None)))
-    p, grad_p, n_valid = estimate_solution_and_gradient(
-        fluid._wost_scene, fluid.walk_settings, pts, k2,
-        source_args=(div_grid,))
+    return pts, valid
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _mask_pressure(fluid, pts, valid, p, grad_p):
+    scene = fluid.scene
     dist = fluid.q.distance(scene.boundary, pts)
     signed = fluid.q.signed_distance(scene.boundary, pts)
     mask_near = jnp.abs(dist) < scene.boundary_distance_mask
     p = jnp.where(mask_near, 0.0, p)
     bad = mask_near | (signed >= 0.0) | ~valid
     grad_p = jnp.where(bad[:, None], 0.0, grad_p)
-    return pts, valid, p, grad_p
+    return p, grad_p
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -76,6 +76,12 @@ class WalkSettings:
     # batches multiply wasted work on already-terminated lanes — so the
     # default stays sequential; the knob remains for small point counts.
     pair_batch: int = 1
+    # pairs per device launch: the gradient estimator host-loops over
+    # launches of this many pairs, carrying the running sums. One XLA
+    # program with > ~8k sequential while-loop trips faults this image's
+    # TPU worker (measured: 250 pairs x 64-step caps crash; 100 x 64 and
+    # 250 x 16 run) — and scenes with obstacles walk to the cap.
+    pairs_per_launch: int = 50
     # counter-based PCG hash for the per-step walk draws (ops.fastrand):
     # ~10 ALU ops per uniform instead of threefry's ~100+, the dominant
     # per-step cost of the lockstep loop. Statistically validated
@@ -389,7 +395,6 @@ def _stratified_pair_u(key, w, n_pairs, rot, dim):
     return jnp.stack([u0, u1], axis=-1)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
                                    pts, key, n_walks: Optional[int] = None,
                                    mask_invalid: bool = True,
@@ -400,7 +405,45 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     antithetic source/boundary pairs, running-mean control variates,
     stratified first directions, first sphere = 0.99*dist-to-boundary.
     Returns (p, grad (N, D), n_valid).
+
+    The pair loop is split across device launches of
+    `settings.pairs_per_launch` pairs with the running sums carried
+    between launches (see the pairs_per_launch doc for why); each launch
+    is one jitted program, so this function must be called OUTSIDE jit.
     """
+    n_walks_total = n_walks or settings.n_walks
+    n_pairs = max(1, n_walks_total // 2) \
+        if settings.use_gradient_antithetic_variates else n_walks_total
+    N = pts.shape[0]
+    D = scene.dim
+    L = max(1, settings.pairs_per_launch)
+    carry = (jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.int32),
+             jnp.zeros((N,), jnp.float32), jnp.zeros((N, D), jnp.float32),
+             jnp.zeros((N,), jnp.int32))
+    for lo in range(0, n_pairs, L):
+        carry = _grad_launch(scene, settings, pts, key, n_walks_total,
+                             min(L, n_pairs - lo), jnp.int32(lo), carry,
+                             source_args)
+    sum_sol, n_sol, _, sum_grad, n_grad = carry
+    p = sum_sol / jnp.maximum(n_sol, 1)
+    grad = sum_grad / jnp.maximum(n_grad, 1)[..., None]
+    if mask_invalid:
+        q = scene.qmod()
+        nd = q.distance(scene.neumann, pts)
+        dd = _dirichlet_dist(scene, pts)
+        degenerate = RADIUS_SHRINK * jnp.minimum(nd, dd) <= 1e-6
+        p = jnp.where(degenerate, 0.0, p)
+        grad = jnp.where(degenerate[..., None], 0.0, grad)
+    return p, grad, n_sol
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def _grad_launch(scene: WostScene, settings: WalkSettings, pts, key,
+                 n_walks: int, launch_pairs: int, pair_lo, carry,
+                 source_args=()):
+    """One launch of `launch_pairs` antithetic pairs starting at absolute
+    pair index `pair_lo` (dynamic, so every launch shares one compile),
+    folding contributions into the carried running sums."""
     greens = scene.greens()
     q = scene.qmod()
     D = scene.dim
@@ -482,8 +525,8 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
                 + (first_src - cv_s[None])[..., None] * sgd)   # (A,N,D)
         return total, first_src, grad, valid
 
-    G = max(1, min(settings.pair_batch, n_pairs))
-    n_outer = -(-n_pairs // G)
+    G = max(1, min(settings.pair_batch, launch_pairs))
+    n_outer = -(-launch_pairs // G)
 
     def outer_body(o, carry):
         (sum_sol, n_sol, sum_first, sum_grad, n_grad) = carry
@@ -496,10 +539,11 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
         else:
             cv_b = jnp.zeros_like(sum_sol)
             cv_s = jnp.zeros_like(sum_first)
-        w = o * G + jnp.arange(G)
+        w = pair_lo + o * G + jnp.arange(G)
         total, first_src, grad, valid = jax.vmap(
             one_pair, in_axes=(0, None, None))(w, cv_b, cv_s)   # (G,A,N,..)
-        valid = valid & (w < n_pairs)[:, None, None]   # padded pairs dropped
+        # padded pairs (pair_batch remainder) dropped
+        valid = valid & (w < pair_lo + launch_pairs)[:, None, None]
         vf = valid.astype(jnp.float32)
         sum_sol = sum_sol + jnp.sum(vf * total, axis=(0, 1))
         sum_first = sum_first + jnp.sum(vf * first_src, axis=(0, 1))
@@ -508,15 +552,4 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
         n_grad = n_grad + jnp.sum(valid, axis=(0, 1))
         return (sum_sol, n_sol, sum_first, sum_grad, n_grad)
 
-    init = (jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.int32),
-            jnp.zeros((N,), jnp.float32), jnp.zeros((N, D), jnp.float32),
-            jnp.zeros((N,), jnp.int32))
-    sum_sol, n_sol, _, sum_grad, n_grad = \
-        jax.lax.fori_loop(0, n_outer, outer_body, init)
-
-    p = sum_sol / jnp.maximum(n_sol, 1)
-    grad = sum_grad / jnp.maximum(n_grad, 1)[..., None]
-    if mask_invalid:
-        p = jnp.where(degenerate, 0.0, p)
-        grad = jnp.where(degenerate[..., None], 0.0, grad)
-    return p, grad, n_sol
+    return jax.lax.fori_loop(0, n_outer, outer_body, carry)
