@@ -257,6 +257,7 @@ def main(argv=None):
     for _ in range(n_steps):
         t0 = time.time()
         state = fluid.step(state)
+        jax.block_until_ready(state.params)   # async dispatch: sync first
         t = int(state.timestep)
         print(f"timestep {t}: {time.time() - t0:.1f}s "
               f"P={float(state.P):.3e}")
