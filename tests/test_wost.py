@@ -191,3 +191,21 @@ def test_gradient_bounded_at_sigma350_scene_scale():
     gy = -k6 * np.cos(k6 * np.asarray(pts)[:, 0]) \
         * np.sin(k6 * np.asarray(pts)[:, 1])
     np.testing.assert_allclose(g, np.stack([gx, gy], -1), atol=0.15)
+
+
+def test_pairs_per_launch_invariance(scene2d):
+    """Splitting the pair loop across device launches must reproduce the
+    single-launch estimates exactly (same keys, same pair indexing)."""
+    import dataclasses
+    pts = jnp.asarray([[1.0, 1.0], [0.6, 0.8]], jnp.float32)
+    a = WalkSettings(walk_step_cap=48, pairs_per_launch=1000)
+    b = dataclasses.replace(a, pairs_per_launch=7)
+    pa, ga, na = estimate_solution_and_gradient(scene2d, a, pts,
+                                                jax.random.PRNGKey(5), 100)
+    pb, gb, nb = estimate_solution_and_gradient(scene2d, b, pts,
+                                                jax.random.PRNGKey(5), 100)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=2e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
