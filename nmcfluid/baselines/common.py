@@ -5,8 +5,6 @@ Taylor-Green field mapped onto it (experiments/INSR-PDE/fluid/*,
 experiments/pinnFluid/*): zero normal velocity on the walls enforced by a
 1%-of-batch boundary penalty instead of hard BCs.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -27,7 +27,6 @@ from .scenes import get_scene, SCENES
 from .sim import NeuralFluid
 from .sim import sampling
 from .utils import save_ckpt, load_ckpt, latest_step
-from .wost.solver import WalkSettings
 
 
 def build_parser():
@@ -119,7 +118,7 @@ def make_fluid(args):
 
 
 def draw_frame(fluid, state, dirs, t):
-    from .ops.diff_ops import curl2d, curl3d
+    from .ops.diff_ops import curl2d
     from .utils import vis
     scene = fluid.scene
     res = scene.vel_vis_resolution
@@ -134,7 +133,6 @@ def draw_frame(fluid, state, dirs, t):
                                 pts[..., 1],
                                 os.path.join(dirs["velocity"],
                                              f"velocity_t{t:03d}.png"))
-        import jax.numpy as jnp
         grid = sampling.uniform_grid(scene.scene_size, scene.vis_resolution)
         w = np.asarray(curl2d(
             lambda p: fluid.velocity(state.params_prev, p, eps=state.eps,

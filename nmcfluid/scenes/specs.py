@@ -20,7 +20,6 @@ maxWalkLength 10000, epsilonShell/minStarShapedRadius 1e-3, RR 0.99,
 Tikhonov from step 0, absorptionCoeff 350, boundaryDistanceMask 1e-3.
 """
 import dataclasses
-import math
 from functools import cached_property
 from typing import Callable, Optional, Tuple
 
@@ -32,7 +31,7 @@ from ..geometry import sdf
 from ..geometry.analytic2d import make_analytic2d, FAR
 from ..geometry.analytic3d import make_box3d
 from ..geometry.soup2d import (Seg2D, build_segments, box_loop,
-                               circle_loop_cw, polyline_chain, polyline_loop)
+                               circle_loop_cw, polyline_chain)
 from ..geometry.soup3d import Tri3D, box_tris, build_triangles
 from ..wost.solver import WalkSettings
 

@@ -20,7 +20,6 @@ with the adv_ref=1 (MacCormack/reflection) variant doubling both phases
 crossing into C++/TBB; its per-step divergence grid is threaded through the
 solver as a dynamic argument so each scene compiles exactly once.
 """
-import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional
 

@@ -11,7 +11,6 @@ Where the reference drops samples inside obstacles (dynamic shapes,
 base.py:239-249), `fluid_points` re-draws rejected slots a fixed number of
 rounds and returns a validity mask — shapes stay static for XLA.
 """
-from functools import partial
 
 import jax
 import jax.numpy as jnp

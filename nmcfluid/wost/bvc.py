@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bessel
-from ..ops.sampling import unit_sphere_from_u
-from .solver import WalkSettings, WostScene, estimate_solution
+from .solver import WalkSettings, WostScene, estimate_solution  # noqa: F401 (re-export)
 
 
 # ------------------------------------------------- free-space Green kernels
