@@ -18,9 +18,13 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def points_mesh(n_devices=None, axis_name="points"):
-    """1D mesh over the first n_devices (default all) devices."""
-    devs = jax.devices()
+def points_mesh(n_devices=None, axis_name="points", devices=None):
+    """1D mesh over the first n_devices (default all) devices.
+
+    Pass `devices` explicitly (e.g. jax.devices("cpu")) to avoid
+    initializing the default backend — jax.devices() with no argument
+    would bring up the TPU plugin even for a CPU-only dry run."""
+    devs = jax.devices() if devices is None else list(devices)
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis_name,))
