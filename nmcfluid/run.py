@@ -40,7 +40,18 @@ def build_parser():
     p.add_argument("--wost_resolution", type=int, default=None)
     p.add_argument("--div_resolution", type=int, default=None)
     p.add_argument("--n_walks", type=int, default=None)
-    p.add_argument("--walk_step_cap", type=int, default=64)
+    p.add_argument("--walk_step_cap", type=int, default=64,
+                   help="lockstep while-loop cap (pool mode caps at "
+                        "--pool_step_cap instead)")
+    p.add_argument("--walk_algo", default="pool",
+                   choices=["pool", "lockstep"],
+                   help="WoSt gradient executor: compacted walker pool "
+                        "(cost ~ sum of walk lengths) or the round-1 "
+                        "lockstep pair loop")
+    p.add_argument("--pool_step_cap", type=int, default=1024)
+    p.add_argument("--grad_clip", type=float, default=-1.0,
+                   help="global-l2 gradient clip for the phase fits, "
+                        "<=0 off (config.py --grad_clip)")
     p.add_argument("--adv_ref", type=int, default=0)
     p.add_argument("--lr_schedule", default="constant",
                    choices=["constant", "cosine"])
@@ -101,9 +112,12 @@ def make_fluid(args):
         from .parallel import points_mesh
         mesh = points_mesh(args.mesh)
     ws = None
-    if args.n_walks or args.walk_step_cap != 64:
+    if (args.n_walks or args.walk_step_cap != 64 or args.walk_algo != "pool"
+            or args.pool_step_cap != 1024):
         ws = scene.walk_settings(n_walks=args.n_walks or scene.n_walks,
-                                 walk_step_cap=args.walk_step_cap)
+                                 walk_step_cap=args.walk_step_cap,
+                                 algo=args.walk_algo,
+                                 pool_step_cap=args.pool_step_cap)
     return NeuralFluid(scene,
                        max_n_iters=args.max_n_iters,
                        sample_resolution=args.sample_resolution,
@@ -114,6 +128,7 @@ def make_fluid(args):
                        projection=args.projection,
                        lr_schedule=args.lr_schedule,
                        param_ema=args.param_ema,
+                       grad_clip=args.grad_clip,
                        mesh=mesh)
 
 
@@ -143,6 +158,38 @@ def draw_frame(fluid, state, dirs, t):
                                 vmin=-5, vmax=5)
         np.savetxt(os.path.join(dirs["txt"], f"vorticity_values_t{t:03d}.txt"),
                    w.reshape(-1, 1))
+
+
+def dump_pressure_debug(fluid, dirs, t):
+    """Per-projection debug artifacts (model_split.py:249-270): scatter
+    plots of p and grad p over the pressure cloud + the divergence grid."""
+    from .utils import vis
+    proj = getattr(fluid, "_last_projection", None)
+    if proj is None or fluid.scene.dim != 2:
+        return
+    pts, p, grad_p, div = (np.asarray(a) for a in proj)
+    pdir = dirs["pressure"]
+    vis.draw_scatter(pts, p, os.path.join(pdir, f"p_t{t:03d}.png"))
+    vis.draw_scatter(pts, grad_p[:, 0],
+                     os.path.join(pdir, f"gradp_x_t{t:03d}.png"))
+    vis.draw_scatter(pts, grad_p[:, 1],
+                     os.path.join(pdir, f"gradp_y_t{t:03d}.png"))
+    vis.draw_scalar_field2d(div, os.path.join(pdir, f"div_t{t:03d}.png"))
+
+
+def assemble_gifs(exp_dir, dirs):
+    """Per-run gif assembly (2d/vis_utils.py:103-106)."""
+    from .utils import vis
+    for sub, pattern in (("velocity", "velocity_t"),
+                         ("vorticity", "vorticity_t"),
+                         ("density", "density_t")):
+        d = dirs.get(sub, os.path.join(exp_dir, sub))
+        if os.path.isdir(d):
+            try:
+                vis.frames_to_gif(d, pattern,
+                                  os.path.join(exp_dir, f"{sub}.gif"))
+            except (ValueError, OSError):
+                pass  # no frames written for this artifact
 
 
 def run_density(fluid, args, exp_dir, model_dir):
@@ -252,8 +299,11 @@ def main(argv=None):
         state = state._replace(eps=state.eps / 2)
 
     energy = []
-    for _ in range(n_steps):
+    for it in range(n_steps):
         t0 = time.time()
+        # re-fit the source while t < src_duration (main.py:170-171)
+        if 0 < it < scene.src_duration:
+            state = fluid.add_source(state)
         state = fluid.step(state)
         jax.block_until_ready(state.params)   # async dispatch: sync first
         t = int(state.timestep)
@@ -262,6 +312,7 @@ def main(argv=None):
         save_ckpt(model_dir, state.params, t)
         if args.draw:
             draw_frame(fluid, state, dirs, t)
+            dump_pressure_debug(fluid, dirs, t)
         if scene.dim == 3:
             # kinetic-energy curve (3d/main.py:168-179)
             energy.append(float(fluid.kinetic_energy(state)))
@@ -269,6 +320,9 @@ def main(argv=None):
 
     if args.density:
         run_density(fluid, args, exp_dir, model_dir)
+    if args.draw or args.density:
+        dirs["density"] = os.path.join(exp_dir, "density")
+        assemble_gifs(exp_dir, dirs)
 
 
 if __name__ == "__main__":

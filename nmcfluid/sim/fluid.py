@@ -70,6 +70,7 @@ class NeuralFluid:
                  projection: str = "wost",
                  lr_schedule: str = "constant",
                  param_ema: float = 0.0,
+                 grad_clip: float = -1.0,
                  mesh=None):
         """projection: 'wost' (the reference's Monte Carlo pressure solve)
         or 'spectral' (deterministic DCT grid solve on the divergence grid
@@ -83,12 +84,17 @@ class NeuralFluid:
 
         param_ema: exponential parameter averaging (Polyak) over the phase
         — 0.0 disables; e.g. 0.999 returns a ~1000-iter average, washing
-        out the Adam end-point wander without touching the trajectory."""
+        out the Adam end-point wander without touching the trajectory.
+
+        grad_clip: global-l2 gradient clipping for every phase fit, <= 0
+        disables (update_network, src/2d/models/base.py:83-96;
+        --grad_clip default -1)."""
         self.scene = scene
         self.adv_ref = adv_ref
         self.projection = projection
         self.lr_schedule = lr_schedule
         self.param_ema = param_ema
+        self.grad_clip = grad_clip
         self.mesh = mesh
         self.max_n_iters = max_n_iters or scene.max_n_iters
         self.sample_resolution = sample_resolution or scene.sample_resolution
@@ -224,6 +230,9 @@ class NeuralFluid:
                                      for xs in zip(*chunks))
         if self.mesh is not None:
             pass  # pts already laid out by _pressure_solve's sharding hint
+        # per-projection debug artifacts for the driver (the reference
+        # saves div/p/grad-p figures every projection, model_split.py:249-270)
+        self._last_projection = (pts, p, grad_p, div_grid)
         P = jnp.mean(p)     # model_split.py:219
         params_init = self._phase_init(state, jax.random.fold_in(k_fit, 1)) \
             if self.scene.reset_wts else params_init
@@ -259,6 +268,8 @@ def _adam_fit(fluid, params0, key, batch_fn):
     else:
         lr = scene.lr
     opt = optax.adam(lr)
+    if fluid.grad_clip > 0.0:
+        opt = optax.chain(optax.clip_by_global_norm(fluid.grad_clip), opt)
     opt_state = opt.init(params0)
     tol = scene.early_stop_loss
     dim = scene.dim

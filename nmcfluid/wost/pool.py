@@ -1,0 +1,354 @@
+"""Compacted walker-pool execution of the WoSt gradient estimator.
+
+The lockstep estimator (solver._grad_launch) advances every (pair, point)
+lane until the LAST lane of a launch terminates. Box scenes exit in a few
+steps, but on obstacle scenes a minority of near-silhouette walkers run
+10-100x longer (tiny star radii keep the Yukawa throughput decay — and so
+Russian roulette — from firing), and the lockstep loop pays that max
+length across all ~131k lanes of all 250 pair launches: the measured 15x
+karman-vs-taylorgreen cliff of round 1.
+
+Here walks are instead drawn from a global work queue into a fixed pool
+of S slots. Every `pool_refill_every` steps, terminated lanes scatter
+their contribution into per-point running sums and their slots are
+refilled from the queue (prefix-sum slot assignment), so wall-clock
+tracks the SUM of walk lengths — the per-point independent cost of the
+reference's TBB fan-out (walk_on_stars.h:91-104) — while every array
+keeps a static shape and the whole schedule runs in-graph with zero host
+round-trips inside a launch. A host loop chains fixed-trip launches only
+to stay under this image's sequential-while-trip worker-fault limit.
+
+Estimator math is identical to the lockstep path (the per-step body is
+solver._advance, shared): antithetic first samples mirrored through the
+point, stratified first directions with per-point Cranley-Patterson
+rotations, control variates (two-stage here: `cv_warmup_pairs` pairs run
+with zero CV, then the CVs freeze — the frozen CV is independent of the
+remaining pairs, so the estimator stays unbiased, matching the
+reference's running mean warmed from zero, walk_on_stars.h:501-506), and
+the e^{-Z}-cancelled gradient ratios. Start states are regenerated from
+counter-based streams keyed on (pair, point), and continuation draws are
+keyed on (pair-lane, per-lane step), so antithetic halves share streams
+regardless of when the pool schedules each half (the shared re-seed of
+walk_on_stars.h:579).
+"""
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fastrand, greens2d, greens3d
+from ..ops.sampling import pdf_unit_sphere, unit_sphere_from_u
+from .solver import (ACTIVE, DONE_DIRICHLET, DONE_RR, RADIUS_SHRINK,
+                     WalkSettings, WalkState, WostScene, _advance,
+                     _dirichlet_dist)
+
+EMPTY = -1  # slot status: no walk assigned (distinct from ACTIVE/terminal)
+
+# fastrand salts for the first-sample streams (the walk steps use salts
+# 0-5 on their own seed; these run on an independent seed)
+_SALT_JIT_S = 8    # source-direction stratum jitter (+1 = 2nd axis in 3D)
+_SALT_U2A, _SALT_U2B = 10, 11   # in-ball radius uniforms
+_SALT_JIT_B = 12   # boundary-direction stratum jitter (+1 in 3D)
+
+
+class PointData(NamedTuple):
+    """Per-evaluation-point precomputes (the _grad_launch preamble)."""
+    pts: jax.Array         # (N, D)
+    R1: jax.Array          # (N,) first ball radius (walk_on_stars.h:486)
+    ball1: object          # Ball pytree of (N,) fields
+    norm1: jax.Array       # (N,)
+    thr1: jax.Array        # (N,) first-step throughput (pk/uniform)
+    bgd_coeff: jax.Array   # (N,) |boundaryGradientDirection| / R-unit
+    degenerate: jax.Array  # (N,) bool: on/next to the boundary
+    rot: jax.Array         # (N, D-1) Cranley-Patterson rotations
+
+
+class PoolCarry(NamedTuple):
+    next_lane: jax.Array   # i32 scalar: next queue index not yet issued
+    st: WalkState          # (S,) walker lanes
+    g: jax.Array           # (S,) i32 lane id (stale when EMPTY)
+    first_src: jax.Array   # (S,) first ball source sample
+    bgd_vec: jax.Array     # (S, D) signed boundaryGradientDirection
+    sgd_vec: jax.Array     # (S, D) signed sourceGradientDirection
+    sum_sol: jax.Array     # (N,)
+    n_sol: jax.Array       # (N,) i32 valid-walk count (== gradient count)
+    sum_first: jax.Array   # (N,) for the source control variate
+    sum_grad: jax.Array    # (N, D)
+
+
+def _first_greens(scene, settings):
+    """Green's fn of the FIRST ball: harmonic while Tikhonov is delayed."""
+    if scene.absorption > 0.0 and settings.steps_before_tikhonov > 0:
+        return greens2d.Harmonic2D if scene.dim == 2 else greens3d.Harmonic3D
+    return scene.greens()
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _precompute(scene: WostScene, settings: WalkSettings, pts, key):
+    q = scene.qmod()
+    D = scene.dim
+    g1 = _first_greens(scene, settings)
+    nd = q.distance(scene.neumann, pts)
+    dd = _dirichlet_dist(scene, pts)
+    R1 = RADIUS_SHRINK * jnp.minimum(nd, dd)
+    degenerate = R1 <= 1e-6
+    R1 = jnp.maximum(R1, 1e-6)
+    ball1 = g1.make_ball(R1)
+    rot = jax.random.uniform(jax.random.fold_in(key, 0xC0FFEE),
+                             (pts.shape[0], D - 1))
+    return PointData(
+        pts=pts, R1=R1, ball1=ball1, norm1=g1.norm(ball1),
+        thr1=g1.pk_over_uniform(ball1),
+        bgd_coeff=g1.pk_grad_over_thr(ball1) * R1 / pdf_unit_sphere(D),
+        degenerate=degenerate, rot=rot)
+
+
+def _strat_dir(seed2, w, i, salt, rot_i, shift, n_pairs, D):
+    """First-step direction for pair w at point i: stratified over the
+    pair index with counter-based jitter + per-point rotation (the role
+    of walk_on_stars.h:489-491; see solver._stratified_pair_u)."""
+    wu = w.astype(jnp.uint32)
+    iu = i.astype(jnp.uint32)
+    if D == 2:
+        jit = fastrand.uniform(seed2, wu, salt, iu)
+        u = jnp.mod((w.astype(jnp.float32) + jit) / n_pairs
+                    + rot_i[..., 0] + shift, 1.0)
+        return unit_sphere_from_u(u[..., None], 2)
+    a = int(math.ceil(math.sqrt(n_pairs)))
+    b = (n_pairs + a - 1) // a
+    j0 = fastrand.uniform(seed2, wu, salt, iu)
+    j1 = fastrand.uniform(seed2, wu, salt + 1, iu)
+    u0 = jnp.mod(((w % a).astype(jnp.float32) + j0) / a
+                 + rot_i[..., 0] + shift, 1.0)
+    u1 = jnp.mod(((w // a).astype(jnp.float32) + j1) / b
+                 + rot_i[..., 1] + shift, 1.0)
+    return unit_sphere_from_u(jnp.stack([u0, u1], axis=-1), 3)
+
+
+def _decode(g, n_anti, N):
+    """lane id -> (pair w, antithetic half a, point i, sign)."""
+    i = g % N
+    wa = g // N
+    a = wa % n_anti
+    w = wa // n_anti
+    sign = 1.0 - 2.0 * a.astype(jnp.float32)
+    return w, a, i, sign
+
+
+def _start_states(scene, settings, pd: PointData, seed2, g, source_args,
+                  n_pairs, n_anti, N):
+    """Start state for lane ids g (S,): the first-ball antithetic source
+    sample + first surface step of _grad_launch.one_pair, regenerated
+    on demand from counter streams keyed on (pair, point)."""
+    D = scene.dim
+    g1 = _first_greens(scene, settings)
+    w, a, i, sign = _decode(g, n_anti, N)
+    wu = w.astype(jnp.uint32)
+    iu = i.astype(jnp.uint32)
+    rot_i = pd.rot[i]
+    ball_i = jax.tree.map(lambda f: f[i], pd.ball1)
+
+    if settings.ignore_source:
+        first_src = jnp.zeros(g.shape, jnp.float32)
+        sgd_vec = jnp.zeros(g.shape + (D,), jnp.float32)
+    else:
+        dir_s = _strat_dir(seed2, w, i, _SALT_JIT_S, rot_i, 0.0, n_pairs, D)
+        u2 = jnp.stack([fastrand.uniform(seed2, wu, _SALT_U2A, iu),
+                        fastrand.uniform(seed2, wu, _SALT_U2B, iu)], axis=-1)
+        r_s, _ = g1.sample_radius_u(ball_i, u2)
+        y_vol = pd.pts[i] + (sign * r_s)[..., None] * dir_s
+        first_src = pd.norm1[i] * scene.source_fn(y_vol, *source_args)
+        # sourceGradientDirection, e^{-z}-free joint ratio
+        sgd_vec = (sign * r_s * g1.grad_norm_over_eval(ball_i, r_s)
+                   )[..., None] * dir_s
+
+    dir_b = _strat_dir(seed2, w, i, _SALT_JIT_B, rot_i, 0.5, n_pairs, D)
+    bgd_vec = (sign * pd.bgd_coeff[i])[..., None] * dir_b
+    x0 = pd.pts[i] + (sign * pd.R1[i])[..., None] * dir_b
+    st = WalkState(
+        x=x0,
+        n=jnp.zeros_like(x0),
+        on_neumann=jnp.zeros(g.shape, bool),
+        thr=pd.thr1[i],
+        acc=first_src,
+        steps=jnp.zeros(g.shape, jnp.int32),
+        status=jnp.full(g.shape, ACTIVE, jnp.int32),
+        first_radius=jnp.zeros(g.shape, jnp.float32),
+    )
+    return st, first_src, bgd_vec, sgd_vec
+
+
+def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv_b, cv_s,
+                    carry: PoolCarry, source_args, n_pairs, n_anti, N):
+    """Terminated lanes: fold contributions into per-point sums; then
+    assign freed slots the next queued lane ids (prefix-sum ranks)."""
+    st = carry.st
+    term = (st.status != ACTIVE) & (st.status != EMPTY)
+    _, _, i, _ = _decode(carry.g, n_anti, N)
+
+    total = st.acc
+    if scene.dirichlet_fn is not None and not settings.ignore_dirichlet:
+        total = total + jnp.where(st.status == DONE_DIRICHLET,
+                                  st.thr * scene.dirichlet_fn(st.x), 0.0)
+    valid = (term & ((st.status == DONE_RR) | (st.status == DONE_DIRICHLET))
+             & ~pd.degenerate[i])
+
+    bc = total - carry.first_src       # boundary (continuation) part
+    gvec = ((bc - cv_b[i])[..., None] * carry.bgd_vec
+            + (carry.first_src - cv_s[i])[..., None] * carry.sgd_vec)
+
+    vf = valid.astype(jnp.float32)
+    sum_sol = carry.sum_sol.at[i].add(vf * total)
+    sum_first = carry.sum_first.at[i].add(vf * carry.first_src)
+    n_sol = carry.n_sol.at[i].add(valid.astype(jnp.int32))
+    sum_grad = carry.sum_grad.at[i].add(vf[..., None] * gvec)
+
+    # ---- refill freed slots from the queue
+    free = term | (st.status == EMPTY)
+    rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    new_g = carry.next_lane + rank
+    take = free & (new_g < g_hi)
+    st_new, fs_new, bv_new, sv_new = _start_states(
+        scene, settings, pd, seed2, jnp.where(take, new_g, 0), source_args,
+        n_pairs, n_anti, N)
+
+    keep_status = jnp.where(term, EMPTY, st.status)
+    sel = lambda n, o: jnp.where(take, n, o)
+    sel_v = lambda n, o: jnp.where(take[..., None], n, o)
+    st2 = WalkState(
+        x=sel_v(st_new.x, st.x), n=sel_v(st_new.n, st.n),
+        on_neumann=sel(st_new.on_neumann, st.on_neumann),
+        thr=sel(st_new.thr, st.thr), acc=sel(st_new.acc, st.acc),
+        steps=sel(st_new.steps, st.steps),
+        status=jnp.where(take, ACTIVE, keep_status),
+        first_radius=sel(st_new.first_radius, st.first_radius))
+    n_issued = jnp.minimum(jnp.sum(free.astype(jnp.int32)),
+                           g_hi - carry.next_lane)
+    return PoolCarry(
+        next_lane=carry.next_lane + jnp.maximum(n_issued, 0),
+        st=st2, g=sel(new_g, carry.g),
+        first_src=sel(fs_new, carry.first_src),
+        bgd_vec=sel_v(bv_new, carry.bgd_vec),
+        sgd_vec=sel_v(sv_new, carry.sgd_vec),
+        sum_sol=sum_sol, n_sol=n_sol, sum_first=sum_first,
+        sum_grad=sum_grad)
+
+
+def _make_draw(seed_w, st, pl):
+    """Continuation draws keyed on (per-lane step count, pair-lane id):
+    identical streams for both antithetic halves (solver._walk shares
+    them by broadcasting; the pool by construction)."""
+    steps = st.steps.astype(jnp.uint32)
+
+    def draw(salt, shape):
+        return jnp.broadcast_to(fastrand.uniform(seed_w, steps, salt, pl),
+                                shape)
+    return draw
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _pool_launch(scene: WostScene, settings: WalkSettings, n_pairs: int,
+                 n_anti: int, N: int, pd, key, g_hi, cv_b, cv_s,
+                 carry: PoolCarry, source_args=()):
+    """Up to ~pool_trips_per_launch sequential steps of the pool schedule:
+    while work remains, [scatter + refill] then `pool_refill_every`
+    unrolled walk steps. Returns (carry, done)."""
+    greens = scene.greens()
+    seed_w = fastrand.seed_from_key(jax.random.fold_in(key, 1))
+    seed2 = fastrand.seed_from_key(jax.random.fold_in(key, 2))
+    K = max(1, settings.pool_refill_every)
+    T_outer = max(1, settings.pool_trips_per_launch // K)
+
+    def done(c):
+        return (c.next_lane >= g_hi) & jnp.all(c.st.status == EMPTY)
+
+    def cond(oc):
+        o, c = oc
+        return (o < T_outer) & ~done(c)
+
+    def body(oc):
+        o, c = oc
+        c = _scatter_refill(scene, settings, pd, seed2, g_hi, cv_b, cv_s,
+                            c, source_args, n_pairs, n_anti, N)
+        pl = ((c.g // (n_anti * N)) * N + (c.g % N)).astype(jnp.uint32)
+        st = c.st
+        for _ in range(K):  # unrolled: trip count = outer trips only
+            st = _advance(scene, greens, settings, st,
+                          _make_draw(seed_w, st, pl), source_args,
+                          step_cap=settings.pool_step_cap)
+        return o + 1, c._replace(st=st)
+
+    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    return carry, done(carry)
+
+
+def estimate_solution_and_gradient_pool(scene: WostScene,
+                                        settings: WalkSettings, pts, key,
+                                        n_walks=None, mask_invalid=True,
+                                        source_args=()):
+    """Pool-mode drop-in for solver.estimate_solution_and_gradient.
+
+    Must be called outside jit (hosts the launch loop). Returns
+    (p, grad (N, D), n_valid)."""
+    if not settings.fast_rng:
+        raise ValueError("pool mode needs the counter-based fast RNG")
+    n_walks_total = n_walks or settings.n_walks
+    n_anti = 2 if settings.use_gradient_antithetic_variates else 1
+    n_pairs = (max(1, n_walks_total // 2) if n_anti == 2
+               else n_walks_total)
+    N, D = pts.shape
+    W = n_pairs * n_anti * N
+    S = settings.pool_slots or min(8 * N, 1 << 20)
+    S = max(n_anti, min(S, W))
+
+    pd = _precompute(scene, settings, pts, key)
+    zN = jnp.zeros((N,), jnp.float32)
+    carry = PoolCarry(
+        next_lane=jnp.int32(0),
+        st=WalkState(
+            x=jnp.zeros((S, D), jnp.float32),
+            n=jnp.zeros((S, D), jnp.float32),
+            on_neumann=jnp.zeros((S,), bool),
+            thr=jnp.zeros((S,), jnp.float32),
+            acc=jnp.zeros((S,), jnp.float32),
+            steps=jnp.zeros((S,), jnp.int32),
+            status=jnp.full((S,), EMPTY, jnp.int32),
+            first_radius=jnp.zeros((S,), jnp.float32)),
+        g=jnp.zeros((S,), jnp.int32),
+        first_src=jnp.zeros((S,), jnp.float32),
+        bgd_vec=jnp.zeros((S, D), jnp.float32),
+        sgd_vec=jnp.zeros((S, D), jnp.float32),
+        sum_sol=zN, n_sol=jnp.zeros((N,), jnp.int32), sum_first=zN,
+        sum_grad=jnp.zeros((N, D), jnp.float32))
+
+    def run(lo_pair, hi_pair, cv_b, cv_s, carry):
+        carry = carry._replace(next_lane=jnp.int32(lo_pair * n_anti * N))
+        g_hi = jnp.int32(hi_pair * n_anti * N)
+        # generous guard: every queued step plus slack, at least a few
+        max_launches = 8 + (W * settings.pool_step_cap) \
+            // (S * max(1, settings.pool_trips_per_launch))
+        for _ in range(max_launches):
+            carry, dn = _pool_launch(scene, settings, n_pairs, n_anti, N,
+                                     pd, key, g_hi, cv_b, cv_s, carry,
+                                     source_args)
+            if bool(dn):
+                return carry
+        raise RuntimeError("walker pool failed to drain (scheduler bug?)")
+
+    C = min(n_pairs, max(1, settings.cv_warmup_pairs))
+    if settings.use_gradient_control_variates and n_pairs > C:
+        carry = run(0, C, zN, zN, carry)
+        cv_b = carry.sum_sol / jnp.maximum(carry.n_sol, 1)
+        cv_s = carry.sum_first / jnp.maximum(carry.n_sol, 1)
+        carry = run(C, n_pairs, cv_b, cv_s, carry)
+    else:
+        carry = run(0, n_pairs, zN, zN, carry)
+
+    p = carry.sum_sol / jnp.maximum(carry.n_sol, 1)
+    grad = carry.sum_grad / jnp.maximum(carry.n_sol, 1)[..., None]
+    if mask_invalid:
+        p = jnp.where(pd.degenerate, 0.0, p)
+        grad = jnp.where(pd.degenerate[..., None], 0.0, grad)
+    return p, grad, carry.n_sol

@@ -87,6 +87,31 @@ class WalkSettings:
     # per-step cost of the lockstep loop. Statistically validated
     # (tests/test_fastrand, analytic estimator tests run both ways).
     fast_rng: bool = True
+    # ---- pool-mode execution of the gradient estimator (wost/pool.py).
+    # The lockstep pair loop costs pairs x max-walk-length across ALL
+    # lanes; the pool draws walks from a global queue into a fixed slot
+    # array so cost tracks the SUM of walk lengths — the reference's
+    # per-point independent cost (walk_on_stars.h:91-104) with static
+    # shapes. "lockstep" keeps the round-1 pair-launch loop.
+    algo: str = "pool"
+    pool_slots: int = 0            # 0 -> auto: min(8 * n_points, 2**20)
+    # walk steps between scatter/refill. At sigma=350 the measured mean
+    # walk length is ~1.1 steps (the first ball's Yukawa throughput drop
+    # triggers Russian roulette immediately), so refilling every step
+    # wastes no idle lane-steps; raise only if walks lengthen (small
+    # sigma), where refill cost amortizes over more steps.
+    pool_refill_every: int = 1
+    # per-walk step cap in pool mode. Walks that exceed it are DROPPED
+    # from the statistics (DROP_MAXLEN, matching which completion codes
+    # update estimates, walk_on_stars.h:447-459) — at 1024 the surviving
+    # fraction is ~0 even next to the karman obstacle, where the
+    # lockstep default (64) dropped a measurable share of walkers.
+    pool_step_cap: int = 1024
+    pool_trips_per_launch: int = 2048  # sequential-trip fault guard
+    # pairs estimated with zero control variates before the CVs are
+    # frozen for the remaining pairs (the reference warms its running
+    # mean from zero the same way, walk_on_stars.h:501-506)
+    cv_warmup_pairs: int = 16
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # id-hash: stable jit cache key
@@ -178,13 +203,18 @@ def _sample_neumann_boundary(scene, x, radius, key):
                               "that has nonzero h (none shipped).")
 
 
-def _walk(scene, greens, settings: WalkSettings, state: WalkState,
-          key, rand_shape, source_args=()):
-    """Advance all lanes until every walk has terminated or the cap hits.
+def _advance(scene, greens, settings: WalkSettings, st: WalkState, draw,
+             source_args=(), step_cap=None, key_step=None):
+    """One walk step for every ACTIVE lane — the loop body of walk()
+    (walk_on_stars.h:135-329). Shared by the lockstep while_loop (_walk)
+    and the compacted pool executor (wost/pool.py).
 
-    Lanes with leading dims broadcasting from `rand_shape` share random
-    draws (used for antithetic continuation pairs, mirroring the shared
-    re-seed at walk_on_stars.h:579)."""
+    `draw(salt, shape)` supplies the step's uniforms; the caller keys it
+    (lockstep: loop counter + lane iota; pool: per-lane step counter +
+    pair-lane id, so antithetic halves share streams regardless of when
+    each half is scheduled). `step_cap` overrides max_walk_length as the
+    DROP_MAXLEN threshold (the pool's per-walk cap). `key_step` is only
+    needed for nonzero Neumann boundary data."""
     q = scene.qmod()
     D = scene.dim
     rr = settings.russian_roulette_threshold
@@ -197,19 +227,118 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
     mixed = use_yukawa and K_tik > 0
     g_harm = greens2d.Harmonic2D if D == 2 else greens3d.Harmonic3D
     M_max = settings.steps_before_maximal_spheres
+    cap = settings.max_walk_length if step_cap is None else step_cap
 
+    active = st.status == ACTIVE
+
+    dd = _dirichlet_dist(scene, st.x)
+    star = q.star_radius(soup, st.x, settings.min_star_radius, dd)
+    star = jnp.where(settings.min_star_radius <= dd,
+                     jnp.maximum(RADIUS_SHRINK * star,
+                                 settings.min_star_radius), star)
+    if M_max < settings.max_walk_length:
+        # maximal-sphere mode after M steps (walk_on_stars.h:162-164):
+        # radius = dist to Dirichlet, no silhouette constraint/shrink
+        star = jnp.where(st.steps >= M_max, dd, star)
+    R = jnp.where(st.first_radius > 0.0, st.first_radius, star)
+    ball = greens.make_ball(R)
+    if mixed:
+        ball_h = g_harm.make_ball(R)
+        on_yukawa = st.steps >= K_tik
+
+    u_dir = jnp.stack([draw(s_, R.shape) for s_ in range(D - 1)], axis=-1)
+    d = unit_sphere_from_u(u_dir, D)
+    d = jnp.broadcast_to(d, st.x.shape)
+    flip = st.on_neumann & (jnp.sum(st.n * d, -1) > 0.0)
+    d = jnp.where(flip[..., None], -d, d)
+
+    off = q.OFFSET_EPS * jnp.maximum(
+        1.0, jnp.linalg.norm(st.x, axis=-1))[..., None]
+    o_eff = jnp.where(st.on_neumann[..., None], st.x - st.n * off, st.x)
+    hit, t_hit, hit_pt, hit_n = q.ray_intersect(soup, o_eff, d, R)
+    arc_pt = o_eff + R[..., None] * d
+    new_pt = jnp.where(hit[..., None], hit_pt, arc_pt)
+    new_n = jnp.where(hit[..., None], hit_n, st.n)
+
+    acc = st.acc
+    # ---- Neumann boundary term (zero boundary data short-circuits)
+    if scene.neumann_fn is not None and not settings.ignore_neumann:
+        kb = jax.random.fold_in(key_step, 1)
+        bpt, bn, bpdf = _sample_neumann_boundary(scene, st.x, R, kb)
+        bdist = jnp.linalg.norm(bpt - st.x, axis=-1)
+        alpha = jnp.where(st.on_neumann, 2.0, 1.0)
+        vis = q.has_line_of_sight(soup, o_eff, bpt)
+        ok = (bpdf > 0.0) & (bdist < R) & vis
+        G = greens.eval(ball, jnp.maximum(bdist, greens2d.R_CLAMP))
+        if mixed:
+            G = jnp.where(on_yukawa, G, g_harm.eval(
+                ball_h, jnp.maximum(bdist, greens2d.R_CLAMP)))
+        h = scene.neumann_fn(bpt)
+        acc = acc + jnp.where(active & ok,
+                              st.thr * alpha * G * h / bpdf, 0.0)
+
+    # ---- source term: radius along the walk direction, star-clipped
+    if not settings.ignore_source:
+        u2 = jnp.stack([draw(4, ball.R.shape),
+                        draw(5, ball.R.shape)], axis=-1)
+        r_src, _ = greens.sample_radius_u(ball, u2)
+        g_norm = greens.norm(ball)
+        if mixed:
+            r_h, _ = g_harm.sample_radius_u(ball_h, u2)
+            r_src = jnp.where(on_yukawa, r_src, r_h)
+            g_norm = jnp.where(on_yukawa, g_norm, g_harm.norm(ball_h))
+        y = st.x + r_src[..., None] * d
+        take = r_src <= t_hit
+        contrib = g_norm * scene.source_fn(y, *source_args)
+        acc = acc + jnp.where(active & take, st.thr * contrib, 0.0)
+
+    escaped = (~hit) & q.outside_bbox(soup, new_pt)
+
+    r_new = jnp.linalg.norm(new_pt - st.x, axis=-1)
+    dspk = greens.dspk(ball, r_new)
+    if mixed:
+        dspk = jnp.where(on_yukawa, dspk, g_harm.dspk(ball_h, r_new))
+    thr = st.thr * dspk
+    u_rr = draw(3, thr.shape)
+    below = thr < rr
+    die = below & (thr / rr < u_rr)
+    thr = jnp.where(below & ~die, rr, thr)
+    steps = st.steps + 1
+
+    status = st.status
+    status = jnp.where(active & escaped, DROP_ESCAPED, status)
+    status = jnp.where(active & ~escaped & die, DONE_RR, status)
+    status = jnp.where(
+        active & ~escaped & ~die & (steps > cap),
+        DROP_MAXLEN, status)
+    if scene.dirichlet is not None:
+        dd_new = _dirichlet_dist(scene, new_pt)
+        status = jnp.where((status == ACTIVE)
+                           & (dd_new <= settings.epsilon_shell),
+                           DONE_DIRICHLET, status)
+
+    return WalkState(
+        x=jnp.where(active[..., None], new_pt, st.x),
+        n=jnp.where(active[..., None], new_n, st.n),
+        on_neumann=jnp.where(active, hit, st.on_neumann),
+        thr=jnp.where(active, jnp.where(die, 0.0, thr), st.thr),
+        acc=acc,
+        steps=jnp.where(active, steps, st.steps),
+        status=status,
+        first_radius=jnp.zeros_like(st.first_radius),
+    )
+
+
+def _walk(scene, greens, settings: WalkSettings, state: WalkState,
+          key, rand_shape, source_args=()):
+    """Advance all lanes until every walk has terminated or the cap hits.
+
+    Lanes with leading dims broadcasting from `rand_shape` share random
+    draws (used for antithetic continuation pairs, mirroring the shared
+    re-seed at walk_on_stars.h:579)."""
     if settings.fast_rng:
         seed = fastrand.seed_from_key(key)
         lanes = fastrand.lane_iota(rand_shape)
-
-    def _udraw(kstep, it, salt, shape):
-        """One uniform per lane: PCG hash stream (fast path) or threefry."""
-        if settings.fast_rng:
-            return jnp.broadcast_to(
-                fastrand.uniform(seed, it, salt, lanes), shape)
-        return jnp.broadcast_to(
-            jax.random.uniform(jax.random.fold_in(kstep, salt + 16),
-                               rand_shape), shape)
 
     def cond(carry):
         it, st = carry
@@ -218,105 +347,19 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
     def body(carry):
         it, st = carry
         kstep = jax.random.fold_in(key, it)
-        active = st.status == ACTIVE
 
-        dd = _dirichlet_dist(scene, st.x)
-        star = q.star_radius(soup, st.x, settings.min_star_radius, dd)
-        star = jnp.where(settings.min_star_radius <= dd,
-                         jnp.maximum(RADIUS_SHRINK * star,
-                                     settings.min_star_radius), star)
-        if M_max < settings.max_walk_length:
-            # maximal-sphere mode after M steps (walk_on_stars.h:162-164):
-            # radius = dist to Dirichlet, no silhouette constraint/shrink
-            star = jnp.where(st.steps >= M_max, dd, star)
-        R = jnp.where(st.first_radius > 0.0, st.first_radius, star)
-        ball = greens.make_ball(R)
-        if mixed:
-            ball_h = g_harm.make_ball(R)
-            on_yukawa = st.steps >= K_tik
+        if settings.fast_rng:
+            def draw(salt, shape):
+                return jnp.broadcast_to(
+                    fastrand.uniform(seed, it, salt, lanes), shape)
+        else:
+            def draw(salt, shape):
+                return jnp.broadcast_to(
+                    jax.random.uniform(jax.random.fold_in(kstep, salt + 16),
+                                       rand_shape), shape)
 
-        u_dir = jnp.stack([_udraw(kstep, it, s_, rand_shape)
-                           for s_ in range(D - 1)], axis=-1)
-        d = unit_sphere_from_u(u_dir, D)
-        d = jnp.broadcast_to(d, st.x.shape)
-        flip = st.on_neumann & (jnp.sum(st.n * d, -1) > 0.0)
-        d = jnp.where(flip[..., None], -d, d)
-
-        off = q.OFFSET_EPS * jnp.maximum(
-            1.0, jnp.linalg.norm(st.x, axis=-1))[..., None]
-        o_eff = jnp.where(st.on_neumann[..., None], st.x - st.n * off, st.x)
-        hit, t_hit, hit_pt, hit_n = q.ray_intersect(soup, o_eff, d, R)
-        arc_pt = o_eff + R[..., None] * d
-        new_pt = jnp.where(hit[..., None], hit_pt, arc_pt)
-        new_n = jnp.where(hit[..., None], hit_n, st.n)
-
-        acc = st.acc
-        # ---- Neumann boundary term (zero boundary data short-circuits)
-        if scene.neumann_fn is not None and not settings.ignore_neumann:
-            kb = jax.random.fold_in(kstep, 1)
-            bpt, bn, bpdf = _sample_neumann_boundary(scene, st.x, R, kb)
-            bdist = jnp.linalg.norm(bpt - st.x, axis=-1)
-            alpha = jnp.where(st.on_neumann, 2.0, 1.0)
-            vis = q.has_line_of_sight(soup, o_eff, bpt)
-            ok = (bpdf > 0.0) & (bdist < R) & vis
-            G = greens.eval(ball, jnp.maximum(bdist, greens2d.R_CLAMP))
-            if mixed:
-                G = jnp.where(on_yukawa, G, g_harm.eval(
-                    ball_h, jnp.maximum(bdist, greens2d.R_CLAMP)))
-            h = scene.neumann_fn(bpt)
-            acc = acc + jnp.where(active & ok,
-                                  st.thr * alpha * G * h / bpdf, 0.0)
-
-        # ---- source term: radius along the walk direction, star-clipped
-        if not settings.ignore_source:
-            u2 = jnp.stack([_udraw(kstep, it, 4, ball.R.shape),
-                            _udraw(kstep, it, 5, ball.R.shape)], axis=-1)
-            r_src, _ = greens.sample_radius_u(ball, u2)
-            g_norm = greens.norm(ball)
-            if mixed:
-                r_h, _ = g_harm.sample_radius_u(ball_h, u2)
-                r_src = jnp.where(on_yukawa, r_src, r_h)
-                g_norm = jnp.where(on_yukawa, g_norm, g_harm.norm(ball_h))
-            y = st.x + r_src[..., None] * d
-            take = r_src <= t_hit
-            contrib = g_norm * scene.source_fn(y, *source_args)
-            acc = acc + jnp.where(active & take, st.thr * contrib, 0.0)
-
-        escaped = (~hit) & q.outside_bbox(soup, new_pt)
-
-        r_new = jnp.linalg.norm(new_pt - st.x, axis=-1)
-        dspk = greens.dspk(ball, r_new)
-        if mixed:
-            dspk = jnp.where(on_yukawa, dspk, g_harm.dspk(ball_h, r_new))
-        thr = st.thr * dspk
-        u_rr = _udraw(kstep, it, 3, thr.shape)
-        below = thr < rr
-        die = below & (thr / rr < u_rr)
-        thr = jnp.where(below & ~die, rr, thr)
-        steps = st.steps + 1
-
-        status = st.status
-        status = jnp.where(active & escaped, DROP_ESCAPED, status)
-        status = jnp.where(active & ~escaped & die, DONE_RR, status)
-        status = jnp.where(
-            active & ~escaped & ~die & (steps > settings.max_walk_length),
-            DROP_MAXLEN, status)
-        if scene.dirichlet is not None:
-            dd_new = _dirichlet_dist(scene, new_pt)
-            status = jnp.where((status == ACTIVE)
-                               & (dd_new <= settings.epsilon_shell),
-                               DONE_DIRICHLET, status)
-
-        st2 = WalkState(
-            x=jnp.where(active[..., None], new_pt, st.x),
-            n=jnp.where(active[..., None], new_n, st.n),
-            on_neumann=jnp.where(active, hit, st.on_neumann),
-            thr=jnp.where(active, jnp.where(die, 0.0, thr), st.thr),
-            acc=acc,
-            steps=jnp.where(active, steps, st.steps),
-            status=status,
-            first_radius=jnp.zeros_like(st.first_radius),
-        )
+        st2 = _advance(scene, greens, settings, st, draw, source_args,
+                       key_step=kstep)
         return it + 1, st2
 
     _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
@@ -410,7 +453,19 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     `settings.pairs_per_launch` pairs with the running sums carried
     between launches (see the pairs_per_launch doc for why); each launch
     is one jitted program, so this function must be called OUTSIDE jit.
+
+    With settings.algo == "pool" (the default) the walks are instead
+    executed by the compacted walker pool (wost/pool.py) — same
+    estimator math, wall-clock proportional to total walk length rather
+    than pairs x max length. Falls back to lockstep for the threefry
+    RNG or nonzero Neumann data, which the pool does not support.
     """
+    if (settings.algo == "pool" and settings.fast_rng
+            and (scene.neumann_fn is None or settings.ignore_neumann)):
+        from . import pool
+        return pool.estimate_solution_and_gradient_pool(
+            scene, settings, pts, key, n_walks=n_walks,
+            mask_invalid=mask_invalid, source_args=source_args)
     n_walks_total = n_walks or settings.n_walks
     n_pairs = max(1, n_walks_total // 2) \
         if settings.use_gradient_antithetic_variates else n_walks_total
