@@ -14,12 +14,18 @@ Design notes (TPU):
   * All matmuls are (batch, H) x (H, H) — with H in {64, 128} and batches of
     128^2..512^2 points they tile cleanly onto the MXU. Weights stay f32
     (they are <=200k numbers; accuracy of the PDE fit dominates, not HBM).
+  * Matmuls are pinned to Precision.HIGHEST: the TPU default rounds inputs
+    to bfloat16 (~4e-3 relative), which the sin(30x) layers amplify into a
+    velocity-error floor far above the phase fits' 1.1e-10 early-stop MSE
+    target (the reference trains f32 on CUDA GPUs, networks.py matmuls are
+    full f32). The layers are tiny, so the f32 MXU rate costs nothing.
   * Biases are zero-init: torch.nn.Linear's default U(+-1/sqrt(fan_in)) bias
     init is noise the SIREN paper does not rely on; zero keeps the first
     activations in sin's linear regime. (Deliberate deviation, documented.)
 """
 import dataclasses
 import math
+from functools import partial
 from typing import List, Tuple
 
 import jax
@@ -86,8 +92,9 @@ def apply_siren(params: Params, cfg: SirenConfig, x):
     """Evaluate the network at x (..., in_features) -> (..., out_features).
 
     The outermost layer is linear (networks.py:53-54, outermost_linear)."""
+    dot = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
     h = x
     for w, b in params[:-1]:
-        h = _nl(cfg.nonlinearity, h @ w + b)
+        h = _nl(cfg.nonlinearity, dot(h, w) + b)
     w, b = params[-1]
-    return h @ w + b
+    return dot(h, w) + b

@@ -133,6 +133,19 @@ class NeuralFluid:
         self._bbox_hi = jnp.asarray([ss[2 * i + 1] for i in range(scene.dim)],
                                     jnp.float32)
 
+    def shard_pts(self, arr):
+        """Lay a point batch out along the mesh's point axis (no-op without
+        a mesh). Applied to every hot point cloud — pressure points, phase
+        minibatches, divergence-grid evaluation — so all three hot loops of
+        SURVEY.md section 3 run point-parallel; params stay replicated and
+        loss reductions become psums XLA inserts."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec("points", *([None] * (arr.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            arr, NamedSharding(self.mesh, spec))
+
     # ------------------------------------------------------------- velocity
 
     def velocity(self, params, x, *, eps, t=0, key=None, bc=True):
@@ -228,8 +241,6 @@ class NeuralFluid:
                 for c in range(self.n_pressure // self.wost_chunk)]
             pts, valid, p, grad_p = (jnp.concatenate(xs)
                                      for xs in zip(*chunks))
-        if self.mesh is not None:
-            pass  # pts already laid out by _pressure_solve's sharding hint
         # per-projection debug artifacts for the driver (the reference
         # saves div/p/grad-p figures every projection, model_split.py:249-270)
         self._last_projection = (pts, p, grad_p, div_grid)
@@ -320,6 +331,7 @@ def _fit_source(fluid, params0, key, eps, t):
             pts, valid = sampling.training_points(
                 k1, fluid.n_batch, scene, scene.sample_pattern,
                 fluid.sample_resolution)
+            pts = fluid.shard_pts(pts)
             target = scene.source_velocity(pts, key=k2)
             return pts, target, valid.astype(jnp.float32)
 
@@ -343,6 +355,7 @@ def _fit_advect(fluid, flag, params0, prev, tilde, dt, key, eps, t):
             pts, valid = sampling.training_points(
                 kb, fluid.n_batch, scene, scene.sample_pattern,
                 fluid.sample_resolution)
+            pts = fluid.shard_pts(pts)
             u_prev = fluid.velocity(prev, pts, eps=eps, t=t)
             back = jnp.clip(pts - u_prev * dt, fluid._bbox_lo,
                             fluid._bbox_hi)           # model_split.py:99-100
@@ -369,7 +382,7 @@ def _fit_project(fluid, params0, prev, pressure_pts, grad_p, key, eps, t):
         @staticmethod
         def batch(kb):
             idx = jax.random.randint(kb, (fluid_.n_batch,), 0, n_cloud)
-            pts = pressure_pts[idx]
+            pts = fluid_.shard_pts(pressure_pts[idx])
             u_prev = fluid_.velocity(prev, pts, eps=eps, t=t)
             target = u_prev - grad_p[idx]
             return pts, target, jnp.ones((fluid_.n_batch,), jnp.float32)
@@ -399,7 +412,7 @@ def _divergence_grid(fluid, prev, eps, t):
     def f(p):
         return fluid.velocity(params=prev, x=p, eps=eps, t=t)
 
-    flat = pts.reshape(-1, fluid.scene.dim)
+    flat = fluid.shard_pts(pts.reshape(-1, fluid.scene.dim))
     jac = jax.vmap(jax.jacfwd(f))(flat)
     div = jnp.trace(jac, axis1=-2, axis2=-1)
     return -div.reshape(pts.shape[:-1])
@@ -422,11 +435,7 @@ def _pressure_solve(fluid, div_grid, key, eps, t):
 @partial(jax.jit, static_argnums=(0,))
 def _sample_pressure_cloud(fluid, key):
     pts, valid = sampling.fluid_points(key, fluid.wost_chunk, fluid.scene)
-    if fluid.mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-        pts = jax.lax.with_sharding_constraint(
-            pts, NamedSharding(fluid.mesh, PartitionSpec("points", None)))
-    return pts, valid
+    return fluid.shard_pts(pts), valid
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -50,6 +50,7 @@ def test_bvc_matches_manufactured_solution(setup):
     settings = WalkSettings(walk_step_cap=96)
     key = jax.random.PRNGKey(1)
     cache = build_cache(scene, settings, soup, 512, key, n_walks=800)
+    assert np.allclose(np.asarray(cache.normal_derivative), 0.0)
     # MC source samples over the box
     ks, ke = jax.random.split(jax.random.PRNGKey(2))
     n_src = 8192
@@ -61,3 +62,71 @@ def test_bvc_matches_manufactured_solution(setup):
                  radius_clamp=1e-3, kernel_regularization=0.05)
     want = np.asarray(_p_star(eval_pts))
     np.testing.assert_allclose(np.asarray(u), want, atol=0.08)
+
+
+def test_bvc_gradient_splat(setup):
+    """The two-kernel gradient splat (dG, dP; splatter.h:243-247) against
+    the manufactured solution's analytic gradient."""
+    soup, scene = setup
+    settings = WalkSettings(walk_step_cap=96)
+    cache = build_cache(scene, settings, soup, 1024, jax.random.PRNGKey(3),
+                        n_walks=800)
+    n_src = 16384
+    src_pts = jax.random.uniform(jax.random.PRNGKey(4), (n_src, 2),
+                                 minval=0.0, maxval=L)
+    src_pdf = jnp.full((n_src,), 1.0 / (L * L))
+    eval_pts = jnp.asarray([[1.0, 1.0], [0.6, 0.8], [1.4, 0.5]], jnp.float32)
+    u, g = evaluate(scene, cache, eval_pts, src_pts, src_pdf, n_src,
+                    radius_clamp=1e-3, kernel_regularization=0.05,
+                    with_gradient=True)
+    x, y = eval_pts[..., 0], eval_pts[..., 1]
+    want = np.stack([-KX * np.sin(KX * x) * np.cos(KX * y),
+                     -KX * np.cos(KX * x) * np.sin(KX * y)], axis=-1)
+    np.testing.assert_allclose(np.asarray(g), want, atol=0.2)
+    # on-boundary evaluation points: alpha=2 solution, zeroed gradient
+    bpts = jnp.asarray([[0.0, 1.0]], jnp.float32)
+    ub, gb = evaluate(scene, cache, bpts, src_pts, src_pdf, n_src,
+                      radius_clamp=1e-3, kernel_regularization=0.05,
+                      with_gradient=True, on_boundary=jnp.asarray([True]))
+    assert np.allclose(np.asarray(gb), 0.0)
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(_p_star(bpts)),
+                               atol=0.15)
+
+
+def test_bvc_nonzero_neumann_data():
+    """Neumann caches carry du/dn = h (boundary_sampler.h:190-196) and the
+    G-kernel term of the splat picks it up: manufactured solution
+    p* = cos(pi x / (2L)) with nonzero flux on the x = L wall."""
+    kx = np.pi / (2.0 * L)
+    sigma = 30.0
+
+    def p_star(x):
+        return jnp.cos(kx * x[..., 0])
+
+    def source(x):
+        return (sigma + kx ** 2) * p_star(x)
+
+    def h_fn(x):
+        # outward normal derivative: nonzero only on the x = L wall
+        return jnp.where(x[..., 0] > L - 1e-4,
+                         -kx * jnp.sin(kx * x[..., 0]), 0.0)
+
+    soup = build_segments([box_loop(0.0, L, 0.0, L, n_per_side=4)])
+    scene = WostScene(dim=2, neumann=soup, source_fn=source,
+                      absorption=sigma, neumann_fn=h_fn)
+    settings = WalkSettings(walk_step_cap=96, ignore_neumann=False)
+    cache = build_cache(scene, settings, soup, 1024, jax.random.PRNGKey(5),
+                        n_walks=800)
+    dn = np.asarray(cache.normal_derivative)
+    on_right = np.asarray(cache.pts)[:, 0] > L - 1e-4
+    assert np.abs(dn[on_right] + kx * np.sin(kx * L)).max() < 1e-5
+    assert np.allclose(dn[~on_right], 0.0)
+    n_src = 16384
+    src_pts = jax.random.uniform(jax.random.PRNGKey(6), (n_src, 2),
+                                 minval=0.0, maxval=L)
+    src_pdf = jnp.full((n_src,), 1.0 / (L * L))
+    eval_pts = jnp.asarray([[1.0, 1.0], [1.5, 0.7], [0.4, 1.2]], jnp.float32)
+    u = evaluate(scene, cache, eval_pts, src_pts, src_pdf, n_src,
+                 radius_clamp=1e-3, kernel_regularization=0.05)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(p_star(eval_pts)),
+                               atol=0.08)

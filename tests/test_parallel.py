@@ -44,6 +44,40 @@ def test_sharded_pressure_solve_matches_single_device():
                                atol=1e-5)
 
 
+def test_sharded_step_matches_single_device():
+    """Full step() (advect fit + WoSt projection + projection fit) with
+    every hot point cloud sharded over the 8-device mesh must track the
+    single-device step: same keys -> same batches, so params drift only by
+    reduction-order noise amplified through ~100 Adam iterations."""
+    import dataclasses
+    import numpy as np
+    from nmcfluid.parallel import points_mesh
+    from nmcfluid.scenes import get_scene
+    from nmcfluid.sim import NeuralFluid
+    from nmcfluid.wost.solver import WalkSettings
+
+    scene = get_scene("taylorgreen")
+    scene = dataclasses.replace(scene, max_n_iters=40)
+    kw = dict(sample_resolution=16, wost_resolution=16, div_resolution=32,
+              walk_settings=WalkSettings(n_walks=16, walk_step_cap=16,
+                                         pool_step_cap=64))
+    fl0 = NeuralFluid(scene, **kw)
+    fl8 = NeuralFluid(scene, mesh=points_mesh(), **kw)
+    st0 = fl0.init_state(3)
+    st8 = fl8.init_state(3)
+    for l0, l8 in zip(jax.tree.leaves(st0.params),
+                      jax.tree.leaves(st8.params)):
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l8))
+    out0 = fl0.step(st0)
+    with fl8.mesh:
+        out8 = fl8.step(st8)
+    u0 = np.asarray(fl0.sample_velocity_grid(out0, 24))
+    u8 = np.asarray(fl8.sample_velocity_grid(out8, 24))
+    scale = max(np.abs(u0).max(), 1e-6)
+    np.testing.assert_allclose(u8 / scale, u0 / scale, atol=5e-3)
+    assert int(out8.timestep) == 1
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as g
     fn, args = g.entry()
