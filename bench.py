@@ -13,10 +13,12 @@ kernels (near-obstacle walkers run to the step cap in lockstep) and is
 benchmarked via NMCFLUID_BENCH_SCENE=karman.
 
 vs_baseline: the reference publishes no wall-clock (BASELINE.json.published
-is empty). If a measured reference time exists in BASELINE_WALL.json
-({"<scene>_sec_per_frame": N}, to be filled by re-running the reference's
-C++ zombie solver), vs_baseline = baseline/ours (>1 means faster than the
-reference); otherwise 1.0.
+is empty), so BASELINE_WALL.json records the measured cost of the
+reference's C++ WoSt pressure solve at the shipped per-frame config
+(zombie_bindings rebuilt on this host — see its _doc for the NaN/orientation
+fixes required). vs_baseline = reference_wost_seconds / our_FULL_frame
+(>1 means faster); it understates the true ratio because the reference
+frame also runs two <=10k-iter GPU training fits we cannot time here.
 
 Env overrides for quick checks: NMCFLUID_BENCH_SCALE (divides resolutions),
 NMCFLUID_BENCH_ITERS (caps Adam iters), NMCFLUID_BENCH_SCENE.
