@@ -110,7 +110,8 @@ class Harmonic2D:
         if _H2D_TABLE is None:
             # numpy on purpose: a jnp constant created under one trace
             # would leak into later traces via this cache
-            _H2D_TABLE = rt.build_harmonic2d_table().astype("float32")
+            _H2D_TABLE = rt.pack_pairs(
+                rt.build_harmonic2d_table().astype("float32"))
         t = rt.sample_t_harmonic2d_u(_H2D_TABLE, u2[..., 0])
         r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
         return r, Harmonic2D.eval(ball, r)
@@ -130,7 +131,8 @@ class Yukawa2D:
         self.lam = float(lam)
         self.sqrt_lam = math.sqrt(float(lam))
         from . import radial_tables as rt
-        self._table = rt.build_table(2).astype("float32")  # numpy: trace-safe
+        # numpy (trace-safe), quad-packed: one gather per radius draw
+        self._table = rt.pack_quads(rt.build_table(2).astype("float32"))
 
     def make_ball(self, R):
         Z = self.sqrt_lam * R

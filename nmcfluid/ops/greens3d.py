@@ -121,7 +121,8 @@ class Yukawa3D:
         self.lam = float(lam)
         self.sqrt_lam = math.sqrt(float(lam))
         from . import radial_tables as rt
-        self._table = rt.build_table(3).astype("float32")  # numpy: trace-safe
+        # numpy (trace-safe), quad-packed: one gather per radius draw
+        self._table = rt.pack_quads(rt.build_table(3).astype("float32"))
 
     def make_ball(self, R):
         Z = self.sqrt_lam * R

@@ -73,35 +73,54 @@ _LOG_Z_MIN = math.log(_Z_MIN)
 _DLOG = (math.log(_Z_MAX) - _LOG_Z_MIN) / (_N_Z - 1)
 
 
-def sample_t_screened(table, Z, key):
+def pack_quads(table: np.ndarray) -> np.ndarray:
+    """(N_Z, N_U) -> (N_Z-1, N_U-1, 4) bilinear quads [t00, t01, t10, t11].
+
+    The walk inner loop is gather-bound on TPU (XLA gathers serialize);
+    packing the four bilinear neighbors contiguously turns the per-draw
+    lookup into ONE gather of a 4-float row instead of four scattered
+    element gathers. Values are identical to the unpacked lookup."""
+    return np.ascontiguousarray(np.stack(
+        [table[:-1, :-1], table[:-1, 1:], table[1:, :-1], table[1:, 1:]],
+        axis=-1))
+
+
+def pack_pairs(table: np.ndarray) -> np.ndarray:
+    """(N_U,) -> (N_U-1, 2) linear-interp pairs (same rationale)."""
+    return np.ascontiguousarray(np.stack([table[:-1], table[1:]], axis=-1))
+
+
+def sample_t_screened(table_quads, Z, key):
     """Sample t = r/R via bilinear inverse-CDF lookup. Z, out: same shape."""
-    return sample_t_screened_u(table, Z, jax.random.uniform(key, Z.shape))
+    return sample_t_screened_u(table_quads, Z,
+                               jax.random.uniform(key, Z.shape))
 
 
-def sample_t_screened_u(table, Z, u):
-    """As sample_t_screened but from a caller-supplied uniform draw."""
-    table = jnp.asarray(table)  # host tables convert per-trace (trace-safe)
+def sample_t_screened_u(table_quads, Z, u):
+    """As sample_t_screened but from a caller-supplied uniform draw.
+    `table_quads` is pack_quads(build_table(dim)); one gather per draw."""
+    tq = jnp.asarray(table_quads)  # host tables convert per-trace
     zi = (jnp.log(jnp.clip(Z, _Z_MIN, _Z_MAX)) - _LOG_Z_MIN) / _DLOG
     i0 = jnp.clip(jnp.floor(zi).astype(jnp.int32), 0, _N_Z - 2)
     wi = jnp.clip(zi - i0, 0.0, 1.0)
     uj = u * (_N_U - 1)
     j0 = jnp.clip(jnp.floor(uj).astype(jnp.int32), 0, _N_U - 2)
     wj = uj - j0
-    t00 = table[i0, j0]
-    t01 = table[i0, j0 + 1]
-    t10 = table[i0 + 1, j0]
-    t11 = table[i0 + 1, j0 + 1]
-    return ((1 - wi) * ((1 - wj) * t00 + wj * t01)
-            + wi * ((1 - wj) * t10 + wj * t11))
+    q = tq[i0, j0]                                  # (..., 4), one gather
+    return ((1 - wi) * ((1 - wj) * q[..., 0] + wj * q[..., 1])
+            + wi * ((1 - wj) * q[..., 2] + wj * q[..., 3]))
 
 
-def sample_t_harmonic2d(table, shape, key):
-    return sample_t_harmonic2d_u(table, jax.random.uniform(key, shape))
+def sample_t_harmonic2d(table_pairs, shape, key):
+    return sample_t_harmonic2d_u(table_pairs,
+                                 jax.random.uniform(key, shape))
 
 
-def sample_t_harmonic2d_u(table, u):
-    table = jnp.asarray(table)
+def sample_t_harmonic2d_u(table_pairs, u):
+    """`table_pairs` is pack_pairs(build_harmonic2d_table())."""
+    tp = jnp.asarray(table_pairs)
     uj = u * (_N_U - 1)
     j0 = jnp.clip(jnp.floor(uj).astype(jnp.int32), 0, _N_U - 2)
     wj = uj - j0
-    return (1 - wj) * table[j0] + wj * table[j0 + 1]
+    p = tp[j0]                                      # (..., 2), one gather
+    return (1 - wj) * p[..., 0] + wj * p[..., 1]

@@ -54,28 +54,32 @@ _SALT_JIT_B = 12   # boundary-direction stratum jitter (+1 in 3D)
 
 
 class PointData(NamedTuple):
-    """Per-evaluation-point precomputes (the _grad_launch preamble)."""
+    """Per-evaluation-point precomputes (the _grad_launch preamble).
+
+    `packed` concatenates every per-point field the refill stage needs
+    into one (N, K) row matrix so issuing a walk costs ONE gather
+    (TPU gathers serialize; round-2 profiling put the pool at ~0.3 us
+    per lane-step, gather-dominated). Column layout:
+    [pts (D) | rot (D-1) | R1 | norm1 | thr1 | bgd_coeff | degenerate |
+     ball leaves (len(ball1))]."""
     pts: jax.Array         # (N, D)
     R1: jax.Array          # (N,) first ball radius (walk_on_stars.h:486)
     ball1: object          # Ball pytree of (N,) fields
-    norm1: jax.Array       # (N,)
-    thr1: jax.Array        # (N,) first-step throughput (pk/uniform)
-    bgd_coeff: jax.Array   # (N,) |boundaryGradientDirection| / R-unit
     degenerate: jax.Array  # (N,) bool: on/next to the boundary
-    rot: jax.Array         # (N, D-1) Cranley-Patterson rotations
+    packed: jax.Array      # (N, K)
 
 
 class PoolCarry(NamedTuple):
     next_lane: jax.Array   # i32 scalar: next queue index not yet issued
     st: WalkState          # (S,) walker lanes
     g: jax.Array           # (S,) i32 lane id (stale when EMPTY)
+    ok: jax.Array          # (S,) 1.0 unless the lane's point is degenerate
     first_src: jax.Array   # (S,) first ball source sample
     bgd_vec: jax.Array     # (S, D) signed boundaryGradientDirection
     sgd_vec: jax.Array     # (S, D) signed sourceGradientDirection
-    sum_sol: jax.Array     # (N,)
-    n_sol: jax.Array       # (N,) i32 valid-walk count (== gradient count)
-    sum_first: jax.Array   # (N,) for the source control variate
-    sum_grad: jax.Array    # (N, D)
+    acc: jax.Array         # (N, 3 + D) packed running sums:
+    # [sum_sol | sum_first | n_valid | sum_grad (D)] — one scatter-add
+    # per refill instead of four
 
 
 def _first_greens(scene, settings):
@@ -98,11 +102,25 @@ def _precompute(scene: WostScene, settings: WalkSettings, pts, key):
     ball1 = g1.make_ball(R1)
     rot = jax.random.uniform(jax.random.fold_in(key, 0xC0FFEE),
                              (pts.shape[0], D - 1))
-    return PointData(
-        pts=pts, R1=R1, ball1=ball1, norm1=g1.norm(ball1),
-        thr1=g1.pk_over_uniform(ball1),
-        bgd_coeff=g1.pk_grad_over_thr(ball1) * R1 / pdf_unit_sphere(D),
-        degenerate=degenerate, rot=rot)
+    cols = [pts, rot, R1[:, None], g1.norm(ball1)[:, None],
+            g1.pk_over_uniform(ball1)[:, None],
+            (g1.pk_grad_over_thr(ball1) * R1 / pdf_unit_sphere(D))[:, None],
+            degenerate.astype(jnp.float32)[:, None]]
+    cols += [leaf[:, None] for leaf in jax.tree.leaves(ball1)]
+    return PointData(pts=pts, R1=R1, ball1=ball1, degenerate=degenerate,
+                     packed=jnp.concatenate(cols, axis=1))
+
+
+def _unpack_row(row, D, ball_struct):
+    """Split a packed (S, K) gather back into the per-lane fields."""
+    pts = row[:, 0:D]
+    rot = row[:, D:2 * D - 1]
+    R1, norm1, thr1, bgd_coeff, degen = (row[:, 2 * D - 1 + j]
+                                         for j in range(5))
+    ball = jax.tree.unflatten(
+        ball_struct, [row[:, 2 * D + 4 + j]
+                      for j in range(ball_struct.num_leaves)])
+    return pts, rot, R1, norm1, thr1, bgd_coeff, degen, ball
 
 
 def _strat_dir(seed2, w, i, salt, rot_i, shift, n_pairs, D):
@@ -141,14 +159,16 @@ def _start_states(scene, settings, pd: PointData, seed2, g, source_args,
                   n_pairs, n_anti, N):
     """Start state for lane ids g (S,): the first-ball antithetic source
     sample + first surface step of _grad_launch.one_pair, regenerated
-    on demand from counter streams keyed on (pair, point)."""
+    on demand from counter streams keyed on (pair, point). All per-point
+    data arrives through ONE packed gather (pd.packed[i])."""
     D = scene.dim
     g1 = _first_greens(scene, settings)
     w, a, i, sign = _decode(g, n_anti, N)
     wu = w.astype(jnp.uint32)
     iu = i.astype(jnp.uint32)
-    rot_i = pd.rot[i]
-    ball_i = jax.tree.map(lambda f: f[i], pd.ball1)
+    row = pd.packed[i]                                 # (S, K), one gather
+    pts_i, rot_i, R1_i, norm1_i, thr1_i, bgd_i, degen_i, ball_i = \
+        _unpack_row(row, D, jax.tree.structure(pd.ball1))
 
     if settings.ignore_source:
         first_src = jnp.zeros(g.shape, jnp.float32)
@@ -158,32 +178,34 @@ def _start_states(scene, settings, pd: PointData, seed2, g, source_args,
         u2 = jnp.stack([fastrand.uniform(seed2, wu, _SALT_U2A, iu),
                         fastrand.uniform(seed2, wu, _SALT_U2B, iu)], axis=-1)
         r_s, _ = g1.sample_radius_u(ball_i, u2)
-        y_vol = pd.pts[i] + (sign * r_s)[..., None] * dir_s
-        first_src = pd.norm1[i] * scene.source_fn(y_vol, *source_args)
+        y_vol = pts_i + (sign * r_s)[..., None] * dir_s
+        first_src = norm1_i * scene.source_fn(y_vol, *source_args)
         # sourceGradientDirection, e^{-z}-free joint ratio
         sgd_vec = (sign * r_s * g1.grad_norm_over_eval(ball_i, r_s)
                    )[..., None] * dir_s
 
     dir_b = _strat_dir(seed2, w, i, _SALT_JIT_B, rot_i, 0.5, n_pairs, D)
-    bgd_vec = (sign * pd.bgd_coeff[i])[..., None] * dir_b
-    x0 = pd.pts[i] + (sign * pd.R1[i])[..., None] * dir_b
+    bgd_vec = (sign * bgd_i)[..., None] * dir_b
+    x0 = pts_i + (sign * R1_i)[..., None] * dir_b
     st = WalkState(
         x=x0,
         n=jnp.zeros_like(x0),
         on_neumann=jnp.zeros(g.shape, bool),
-        thr=pd.thr1[i],
+        thr=thr1_i,
         acc=first_src,
         steps=jnp.zeros(g.shape, jnp.int32),
         status=jnp.full(g.shape, ACTIVE, jnp.int32),
         first_radius=jnp.zeros(g.shape, jnp.float32),
     )
-    return st, first_src, bgd_vec, sgd_vec
+    return st, 1.0 - degen_i, first_src, bgd_vec, sgd_vec
 
 
-def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv_b, cv_s,
+def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv,
                     carry: PoolCarry, source_args, n_pairs, n_anti, N):
-    """Terminated lanes: fold contributions into per-point sums; then
-    assign freed slots the next queued lane ids (prefix-sum ranks)."""
+    """Terminated lanes: fold contributions into the packed per-point
+    accumulator (ONE scatter-add); then assign freed slots the next
+    queued lane ids (prefix-sum ranks). `cv` is (N, 2): [cv_b | cv_s],
+    gathered as one row."""
     st = carry.st
     term = (st.status != ACTIVE) & (st.status != EMPTY)
     _, _, i, _ = _decode(carry.g, n_anti, N)
@@ -193,24 +215,25 @@ def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv_b, cv_s,
         total = total + jnp.where(st.status == DONE_DIRICHLET,
                                   st.thr * scene.dirichlet_fn(st.x), 0.0)
     valid = (term & ((st.status == DONE_RR) | (st.status == DONE_DIRICHLET))
-             & ~pd.degenerate[i])
+             & (carry.ok > 0.5))
 
+    cv_i = cv[i]                                       # (S, 2), one gather
     bc = total - carry.first_src       # boundary (continuation) part
-    gvec = ((bc - cv_b[i])[..., None] * carry.bgd_vec
-            + (carry.first_src - cv_s[i])[..., None] * carry.sgd_vec)
+    gvec = ((bc - cv_i[:, 0])[..., None] * carry.bgd_vec
+            + (carry.first_src - cv_i[:, 1])[..., None] * carry.sgd_vec)
 
     vf = valid.astype(jnp.float32)
-    sum_sol = carry.sum_sol.at[i].add(vf * total)
-    sum_first = carry.sum_first.at[i].add(vf * carry.first_src)
-    n_sol = carry.n_sol.at[i].add(valid.astype(jnp.int32))
-    sum_grad = carry.sum_grad.at[i].add(vf[..., None] * gvec)
+    contrib = jnp.concatenate(
+        [(vf * total)[:, None], (vf * carry.first_src)[:, None],
+         vf[:, None], vf[:, None] * gvec], axis=1)     # (S, 3 + D)
+    acc = carry.acc.at[i].add(contrib)                 # one scatter-add
 
     # ---- refill freed slots from the queue
     free = term | (st.status == EMPTY)
     rank = jnp.cumsum(free.astype(jnp.int32)) - 1
     new_g = carry.next_lane + rank
     take = free & (new_g < g_hi)
-    st_new, fs_new, bv_new, sv_new = _start_states(
+    st_new, ok_new, fs_new, bv_new, sv_new = _start_states(
         scene, settings, pd, seed2, jnp.where(take, new_g, 0), source_args,
         n_pairs, n_anti, N)
 
@@ -228,12 +251,11 @@ def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv_b, cv_s,
                            g_hi - carry.next_lane)
     return PoolCarry(
         next_lane=carry.next_lane + jnp.maximum(n_issued, 0),
-        st=st2, g=sel(new_g, carry.g),
+        st=st2, g=sel(new_g, carry.g), ok=sel(ok_new, carry.ok),
         first_src=sel(fs_new, carry.first_src),
         bgd_vec=sel_v(bv_new, carry.bgd_vec),
         sgd_vec=sel_v(sv_new, carry.sgd_vec),
-        sum_sol=sum_sol, n_sol=n_sol, sum_first=sum_first,
-        sum_grad=sum_grad)
+        acc=acc)
 
 
 def _make_draw(seed_w, st, pl):
@@ -250,7 +272,7 @@ def _make_draw(seed_w, st, pl):
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _pool_launch(scene: WostScene, settings: WalkSettings, n_pairs: int,
-                 n_anti: int, N: int, pd, key, g_hi, cv_b, cv_s,
+                 n_anti: int, N: int, pd, key, g_hi, cv,
                  carry: PoolCarry, source_args=()):
     """Up to ~pool_trips_per_launch sequential steps of the pool schedule:
     while work remains, [scatter + refill] then `pool_refill_every`
@@ -270,7 +292,7 @@ def _pool_launch(scene: WostScene, settings: WalkSettings, n_pairs: int,
 
     def body(oc):
         o, c = oc
-        c = _scatter_refill(scene, settings, pd, seed2, g_hi, cv_b, cv_s,
+        c = _scatter_refill(scene, settings, pd, seed2, g_hi, cv,
                             c, source_args, n_pairs, n_anti, N)
         pl = ((c.g // (n_anti * N)) * N + (c.g % N)).astype(jnp.uint32)
         st = c.st
@@ -304,7 +326,6 @@ def estimate_solution_and_gradient_pool(scene: WostScene,
     S = max(n_anti, min(S, W))
 
     pd = _precompute(scene, settings, pts, key)
-    zN = jnp.zeros((N,), jnp.float32)
     carry = PoolCarry(
         next_lane=jnp.int32(0),
         st=WalkState(
@@ -317,13 +338,13 @@ def estimate_solution_and_gradient_pool(scene: WostScene,
             status=jnp.full((S,), EMPTY, jnp.int32),
             first_radius=jnp.zeros((S,), jnp.float32)),
         g=jnp.zeros((S,), jnp.int32),
+        ok=jnp.zeros((S,), jnp.float32),
         first_src=jnp.zeros((S,), jnp.float32),
         bgd_vec=jnp.zeros((S, D), jnp.float32),
         sgd_vec=jnp.zeros((S, D), jnp.float32),
-        sum_sol=zN, n_sol=jnp.zeros((N,), jnp.int32), sum_first=zN,
-        sum_grad=jnp.zeros((N, D), jnp.float32))
+        acc=jnp.zeros((N, 3 + D), jnp.float32))
 
-    def run(lo_pair, hi_pair, cv_b, cv_s, carry):
+    def run(lo_pair, hi_pair, cv, carry):
         carry = carry._replace(next_lane=jnp.int32(lo_pair * n_anti * N))
         g_hi = jnp.int32(hi_pair * n_anti * N)
         # generous guard: every queued step plus slack, at least a few
@@ -331,24 +352,26 @@ def estimate_solution_and_gradient_pool(scene: WostScene,
             // (S * max(1, settings.pool_trips_per_launch))
         for _ in range(max_launches):
             carry, dn = _pool_launch(scene, settings, n_pairs, n_anti, N,
-                                     pd, key, g_hi, cv_b, cv_s, carry,
-                                     source_args)
+                                     pd, key, g_hi, cv, carry, source_args)
             if bool(dn):
                 return carry
         raise RuntimeError("walker pool failed to drain (scheduler bug?)")
 
+    zcv = jnp.zeros((N, 2), jnp.float32)
     C = min(n_pairs, max(1, settings.cv_warmup_pairs))
     if settings.use_gradient_control_variates and n_pairs > C:
-        carry = run(0, C, zN, zN, carry)
-        cv_b = carry.sum_sol / jnp.maximum(carry.n_sol, 1)
-        cv_s = carry.sum_first / jnp.maximum(carry.n_sol, 1)
-        carry = run(C, n_pairs, cv_b, cv_s, carry)
+        carry = run(0, C, zcv, carry)
+        nv = jnp.maximum(carry.acc[:, 2], 1.0)
+        cv = carry.acc[:, 0:2] / nv[:, None]   # [cv_b | cv_s]
+        carry = run(C, n_pairs, cv, carry)
     else:
-        carry = run(0, n_pairs, zN, zN, carry)
+        carry = run(0, n_pairs, zcv, carry)
 
-    p = carry.sum_sol / jnp.maximum(carry.n_sol, 1)
-    grad = carry.sum_grad / jnp.maximum(carry.n_sol, 1)[..., None]
+    n_valid = carry.acc[:, 2]
+    denom = jnp.maximum(n_valid, 1.0)
+    p = carry.acc[:, 0] / denom
+    grad = carry.acc[:, 3:] / denom[:, None]
     if mask_invalid:
         p = jnp.where(pd.degenerate, 0.0, p)
         grad = jnp.where(pd.degenerate[..., None], 0.0, grad)
-    return p, grad, carry.n_sol
+    return p, grad, n_valid.astype(jnp.int32)
