@@ -68,6 +68,14 @@ def main():
     jax.block_until_ready(state.params)
     sec = time.time() - t0
 
+    # third step: per-stage wall-clock breakdown (synchronized between
+    # stages, so run AFTER the clean timed step)
+    fluid.profile = True
+    fluid.stage_times = {}
+    state = fluid.step(state)
+    jax.block_until_ready(state.params)
+    stages = {k: round(v, 3) for k, v in fluid.stage_times.items()}
+
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(__file__),
@@ -86,6 +94,7 @@ def main():
     # secondary diagnostics on stderr-like extra line? keep contract: 1 line
     with open("bench_detail.json", "w") as f:
         json.dump({"warm_step_s": warm, "timed_step_s": sec,
+                   "stage_breakdown_s": stages,
                    "scene": scene_name,
                    "scale": scale, "iters_cap": iters,
                    "device": str(jax.devices()[0])}, f, indent=2)

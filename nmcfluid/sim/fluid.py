@@ -132,6 +132,24 @@ class NeuralFluid:
                                     jnp.float32)
         self._bbox_hi = jnp.asarray([ss[2 * i + 1] for i in range(scene.dim)],
                                     jnp.float32)
+        # opt-in per-stage wall-clock breakdown (the reference prints
+        # per-phase timings, model_split.py:52-81; here a dict so bench.py
+        # can persist it). Synchronizes between stages when enabled.
+        self.profile = False
+        self.stage_times: dict = {}
+
+    def _timed(self, name, fn, *args):
+        """Run a stage; when self.profile, synchronize and accumulate its
+        wall-clock under stage_times[name]."""
+        if not self.profile:
+            return fn(*args)
+        import time
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        self.stage_times[name] = (self.stage_times.get(name, 0.0)
+                                  + time.time() - t0)
+        return out
 
     def shard_pts(self, arr):
         """Lay a point batch out along the mesh's point axis (no-op without
@@ -200,8 +218,9 @@ class NeuralFluid:
         tilde = state.params
 
         def advect(params_init, prev, tilde, dt, flag, k):
-            return _fit_advect(self, flag, params_init, prev, tilde,
-                               jnp.float32(dt), k, state.eps, state.timestep)
+            return self._timed(
+                "advect_fit", _fit_advect, self, flag, params_init, prev,
+                tilde, jnp.float32(dt), k, state.eps, state.timestep)
 
         if not self.adv_ref:
             key, k1, k2, k3, k4 = jax.random.split(key, 5)
@@ -231,13 +250,15 @@ class NeuralFluid:
 
     def _project(self, state, params_init, prev, k_wost, k_fit):
         """Pressure solve + projection fit (model_split.py:245-284)."""
-        div_grid = _divergence_grid(self, prev, state.eps, state.timestep)
+        div_grid = self._timed("div_grid", _divergence_grid, self, prev,
+                               state.eps, state.timestep)
         if self.projection == "spectral":
             pts, valid, p, grad_p = _pressure_solve_spectral(
                 self, div_grid, k_wost, state.eps, state.timestep)
         else:
-            chunks = [_pressure_solve(self, div_grid, jax.random.fold_in(
-                k_wost, c), state.eps, state.timestep)
+            chunks = [self._timed(
+                "wost_solve", _pressure_solve, self, div_grid,
+                jax.random.fold_in(k_wost, c), state.eps, state.timestep)
                 for c in range(self.n_pressure // self.wost_chunk)]
             pts, valid, p, grad_p = (jnp.concatenate(xs)
                                      for xs in zip(*chunks))
@@ -247,8 +268,9 @@ class NeuralFluid:
         P = jnp.mean(p)     # model_split.py:219
         params_init = self._phase_init(state, jax.random.fold_in(k_fit, 1)) \
             if self.scene.reset_wts else params_init
-        params, stats = _fit_project(self, params_init, prev, pts, grad_p,
-                                     k_fit, state.eps, state.timestep)
+        params, stats = self._timed(
+            "project_fit", _fit_project, self, params_init, prev, pts,
+            grad_p, k_fit, state.eps, state.timestep)
         return params, P, stats
 
     # ------------------------------------------------------------- measures
