@@ -95,12 +95,12 @@ class WalkSettings:
     # shapes. "lockstep" keeps the round-1 pair-launch loop.
     algo: str = "pool"
     pool_slots: int = 0            # 0 -> auto: min(8 * n_points, 2**20)
-    # walk steps between scatter/refill. At sigma=350 the measured mean
-    # walk length is ~1.1 steps (the first ball's Yukawa throughput drop
-    # triggers Russian roulette immediately), so refilling every step
-    # wastes no idle lane-steps; raise only if walks lengthen (small
-    # sigma), where refill cost amortizes over more steps.
-    pool_refill_every: int = 1
+    # walk steps between scatter/refill. The refill is an S-wide
+    # _start_states + scatter, comparable in cost to an advance step;
+    # K=2 halves that overhead for at most one idle step per finished
+    # walk. Measured on the karman 65k chunk: K=1 21.5s, K=2 14.6s,
+    # K=4 14.7s, K=8 17.5s (idle lanes win) -> 2.
+    pool_refill_every: int = 2
     # per-walk step cap in pool mode. Walks that exceed it are DROPPED
     # from the statistics (DROP_MAXLEN, matching which completion codes
     # update estimates, walk_on_stars.h:447-459) — at 1024 the surviving
