@@ -18,9 +18,12 @@ from .common import (SirenConfig, adam_fit, apply_siren, init_siren,
 
 
 class INSRFluid:
-    def __init__(self, num_hidden_layers=6, hidden_features=64, lr=1e-5,
-                 max_n_iters=10_000, sample_resolution=64, dt=0.001,
+    def __init__(self, num_hidden_layers=3, hidden_features=256, lr=1e-4,
+                 max_n_iters=20_000, sample_resolution=128, dt=0.001,
                  bc_weight=1.0):
+        # defaults = the reference experiment's shipped config
+        # (scripts/fluid2Dtlgn.sh: 3 layers x 256, -sr 128, dt 1e-3;
+        # config.py:107-108: max_n_iters 20000, lr 1e-4)
         self.vel_cfg = SirenConfig(2, 2, num_hidden_layers, hidden_features)
         self.p_cfg = SirenConfig(2, 1, num_hidden_layers, hidden_features)
         self.lr = lr

@@ -18,9 +18,10 @@ from .common import (SirenConfig, adam_fit, apply_siren, init_siren,
 
 
 class PIDeepONetFluid:
-    def __init__(self, num_hidden_layers=4, hidden_features=128, lr=1e-5,
-                 max_n_iters=20_000, sample_resolution=64, t_range=0.05,
+    def __init__(self, num_hidden_layers=3, hidden_features=256, lr=1e-4,
+                 max_n_iters=50_000, sample_resolution=128, t_range=2.5,
                  n_sensors=100, n_basis=60, n_fields=3):
+        # defaults = piDeepONetSolver/config.py:93-94,105,108,146
         self.n_fields = n_fields
         self.n_basis = n_basis
         self.branch_cfg = SirenConfig(n_sensors * 2, n_basis * n_fields,

@@ -19,8 +19,11 @@ from .common import (SirenConfig, adam_fit, apply_siren, init_siren,
 
 
 class PINNFluid:
-    def __init__(self, num_hidden_layers=6, hidden_features=64, lr=1e-5,
-                 max_n_iters=20_000, sample_resolution=64, t_range=0.05):
+    def __init__(self, num_hidden_layers=3, hidden_features=256, lr=1e-4,
+                 max_n_iters=50_000, sample_resolution=128, t_range=2.5):
+        # defaults = pinnFluid/config.py:90-91,102,105,143 (3x256, 50k
+        # iters, lr 1e-4, t_range 2.5 — trained over [0, 2.5] though the
+        # error curve only evaluates t in [0, 0.05], save_vel.py:23-47)
         self.u_cfg = SirenConfig(3, 2, num_hidden_layers, hidden_features)
         self.p_cfg = SirenConfig(3, 1, num_hidden_layers, hidden_features)
         self.lr = lr

@@ -32,7 +32,7 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--dt", type=float, default=0.001)
     ap.add_argument("--max_n_iters", type=int, default=None)
-    ap.add_argument("--sample_resolution", type=int, default=64)
+    ap.add_argument("--sample_resolution", type=int, default=128)
     ap.add_argument("--grid", type=int, default=1000)
     ap.add_argument("--out", default="results/baselines")
     args = ap.parse_args(argv)
@@ -43,7 +43,7 @@ def main(argv=None):
 
     if args.method == "insr":
         m = INSRFluid(dt=args.dt,
-                      max_n_iters=args.max_n_iters or 10_000,
+                      max_n_iters=args.max_n_iters or 20_000,
                       sample_resolution=args.sample_resolution)
         st = m.init()
         st["vel"], i, l = m.fit_source(st["vel"], key)[0:3]
@@ -55,14 +55,14 @@ def main(argv=None):
             print(f"frame {f + 1}: err={e:.6e} ({time.time() - t0:.1f}s)",
                   flush=True)
     else:
-        t_range = args.frames * args.dt
+        # t_range stays the reference's 2.5 (config.py:143) even though
+        # the error curve evaluates only t in [0, frames * dt] = [0, 0.05]
+        # — the published numbers carry that train/eval mismatch.
         if args.method == "pinn":
-            m = PINNFluid(t_range=t_range,
-                          max_n_iters=args.max_n_iters or 20_000,
+            m = PINNFluid(max_n_iters=args.max_n_iters or 50_000,
                           sample_resolution=args.sample_resolution)
         else:
-            m = PIDeepONetFluid(t_range=t_range,
-                                max_n_iters=args.max_n_iters or 20_000,
+            m = PIDeepONetFluid(max_n_iters=args.max_n_iters or 50_000,
                                 sample_resolution=args.sample_resolution)
         st = m.init()
         t0 = time.time()
