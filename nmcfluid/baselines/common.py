@@ -5,6 +5,8 @@ Taylor-Green field mapped onto it (experiments/INSR-PDE/fluid/*,
 experiments/pinnFluid/*): zero normal velocity on the walls enforced by a
 1%-of-batch boundary penalty instead of hard BCs.
 """
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,24 +38,58 @@ def sample_boundary(key, n):
     return xv, xh   # (vertical walls: x = +-1), (horizontal: y = +-1)
 
 
+_SEG = 5000   # while-loop trips per device program: the v5e worker
+              # faults on single programs with >~10-20k sequential trips
+              # (measured: 10k fits run, a 20k fit kills the worker), so
+              # long fits chain capped segments with a host sync between
+
+
+class SegmentedAdam:
+    """Adam over a summed loss, like the main trainer, with the early
+    stop of INSR config.py:111 — run as jitted while_loop segments of
+    <= _SEG trips chained on the host (see _SEG). Construct ONCE per
+    loss (e.g. in a model's __init__): the segment program is cached on
+    this instance, so per-frame refits don't recompile. Loss data that
+    changes between fits (previous nets etc.) arrives via `ctx`."""
+
+    def __init__(self, loss_fn, lr, tol=1.1e-10):
+        self.loss_fn = loss_fn   # loss_fn(params, key_i, *ctx) -> scalar
+        self.opt = optax.adam(lr)
+        self.tol = tol
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _segment(self, params, opt_state, key, i0, hi, ctx):
+        def cond(c):
+            i, _, _, loss = c
+            return (i < hi) & (loss > self.tol)
+
+        def body(c):
+            i, p, s, _ = c
+            l, g = jax.value_and_grad(self.loss_fn)(
+                p, jax.random.fold_in(key, i), *ctx)
+            up, s = self.opt.update(g, s)
+            return i + 1, optax.apply_updates(p, up), s, l
+
+        return jax.lax.while_loop(
+            cond, body, (i0, params, opt_state, jnp.float32(jnp.inf)))
+
+    def fit(self, params, key, max_iters, ctx=()):
+        opt_state = self.opt.init(params)
+        i = jnp.int32(0)
+        loss = jnp.float32(jnp.inf)
+        for lo in range(0, max_iters, _SEG):
+            hi = min(lo + _SEG, max_iters)
+            i, params, opt_state, loss = self._segment(
+                params, opt_state, key, i, jnp.int32(hi), ctx)
+            if int(i) < hi:   # early stop fired inside the segment
+                break
+        return params, i, loss
+
+
 def adam_fit(params, key, loss_fn, lr, max_iters, tol=1.1e-10):
-    """while_loop Adam over summed loss dict, like the main trainer."""
-    opt = optax.adam(lr)
-
-    def cond(c):
-        i, _, _, loss = c
-        return (i < max_iters) & (loss > tol)
-
-    def body(c):
-        i, p, s, _ = c
-        l, g = jax.value_and_grad(loss_fn)(p, jax.random.fold_in(key, i))
-        up, s = opt.update(g, s)
-        return i + 1, optax.apply_updates(p, up), s, l
-
-    i, params, _, loss = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), params, opt.init(params),
-                     jnp.float32(jnp.inf)))
-    return params, i, loss
+    """One-shot convenience over SegmentedAdam (compiles per call —
+    fine for single-fit users like the PINN/DeepONet trainers)."""
+    return SegmentedAdam(loss_fn, lr, tol).fit(params, key, max_iters)
 
 
 def tg_error_curve_grid(n=1000):

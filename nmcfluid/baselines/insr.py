@@ -8,12 +8,10 @@ velocity_prev, and a *pressure network* — stepped by
 Soft boundary losses on 1%-of-batch wall samples replace the main method's
 hard BCs.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from .common import (SirenConfig, adam_fit, apply_siren, init_siren,
+from .common import (SegmentedAdam, SirenConfig, apply_siren, init_siren,
                      sample_boundary, sample_interior, tg_velocity)
 
 
@@ -31,6 +29,14 @@ class INSRFluid:
         self.n = sample_resolution ** 2
         self.dt = dt
         self.bc_weight = bc_weight
+        # one fitter per phase, built once: each caches its compiled
+        # <=5k-trip Adam segment (SegmentedAdam docstring) across frames
+        self._fits = {
+            "source": SegmentedAdam(self._source_loss, lr),
+            "advect": SegmentedAdam(self._advect_loss, lr),
+            "pressure": SegmentedAdam(self._pressure_loss, lr),
+            "project": SegmentedAdam(self._project_loss, lr),
+        }
 
     def init(self, seed=0):
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
@@ -46,62 +52,69 @@ class INSRFluid:
         vy = self._vel(params, xh)[..., 1]
         return (jnp.mean(vx ** 2) + jnp.mean(vy ** 2)) * self.bc_weight
 
-    @partial(jax.jit, static_argnums=(0,))
-    def fit_source(self, params, key):
-        def loss_fn(p, ki):
-            x = sample_interior(ki, self.n)
-            main = jnp.mean((self._vel(p, x) - tg_velocity(x)) ** 2)
-            return main + self._bc_loss(p, jax.random.fold_in(ki, 1))
-        out, i, l = adam_fit(params, key, loss_fn, self.lr, self.max_n_iters)
-        return out, i, l
+    # ---- per-phase losses (loss(params, key_i, *ctx); ctx carries the
+    # frozen nets of the phase so one compiled fitter serves all frames)
 
-    @partial(jax.jit, static_argnums=(0,))
-    def advect(self, params, prev, key):
-        def loss_fn(p, ki):
-            x = sample_interior(ki, self.n)
-            u_prev = self._vel(prev, x)
-            back = jnp.clip(x - u_prev * self.dt, -1.0, 1.0)
-            target = self._vel(prev, back)
-            main = jnp.mean((self._vel(p, x) - target) ** 2)
-            return main + self._bc_loss(p, jax.random.fold_in(ki, 1))
-        return adam_fit(params, key, loss_fn, self.lr, self.max_n_iters)[0]
+    def _source_loss(self, p, ki):
+        x = sample_interior(ki, self.n)
+        main = jnp.mean((self._vel(p, x) - tg_velocity(x)) ** 2)
+        return main + self._bc_loss(p, jax.random.fold_in(ki, 1))
 
-    @partial(jax.jit, static_argnums=(0,))
-    def solve_pressure(self, p_params, vel_params, key):
+    def _advect_loss(self, p, ki, prev):
+        x = sample_interior(ki, self.n)
+        u_prev = self._vel(prev, x)
+        back = jnp.clip(x - u_prev * self.dt, -1.0, 1.0)
+        target = self._vel(prev, back)
+        main = jnp.mean((self._vel(p, x) - target) ** 2)
+        return main + self._bc_loss(p, jax.random.fold_in(ki, 1))
+
+    def _pressure_loss(self, pp, ki, vel_params):
         """lap p = div u with Neumann walls (model.py:104-125)."""
-        def loss_fn(pp, ki):
-            x = sample_interior(ki, self.n)
+        x = sample_interior(ki, self.n)
 
-            def u_fn(pt):
-                return apply_siren(vel_params, self.vel_cfg, pt)
+        def u_fn(pt):
+            return apply_siren(vel_params, self.vel_cfg, pt)
 
-            def p_fn(pt):
-                return jnp.reshape(apply_siren(pp, self.p_cfg, pt), ())
+        def p_fn(pt):
+            return jnp.reshape(apply_siren(pp, self.p_cfg, pt), ())
 
-            div_u = jnp.trace(jax.vmap(jax.jacfwd(u_fn))(x), axis1=-2,
-                              axis2=-1)
-            lap_p = jnp.trace(jax.vmap(jax.hessian(p_fn))(x), axis1=-2,
-                              axis2=-1)
-            main = jnp.mean((div_u - lap_p) ** 2)
-            xv, xh = sample_boundary(jax.random.fold_in(ki, 1), self.n // 100)
-            gpx = jax.vmap(jax.grad(p_fn))(xv)[..., 0]
-            gpy = jax.vmap(jax.grad(p_fn))(xh)[..., 1]
-            return main + jnp.mean(gpx ** 2) + jnp.mean(gpy ** 2)
-        return adam_fit(p_params, key, loss_fn, self.lr, self.max_n_iters)[0]
+        div_u = jnp.trace(jax.vmap(jax.jacfwd(u_fn))(x), axis1=-2,
+                          axis2=-1)
+        lap_p = jnp.trace(jax.vmap(jax.hessian(p_fn))(x), axis1=-2,
+                          axis2=-1)
+        main = jnp.mean((div_u - lap_p) ** 2)
+        xv, xh = sample_boundary(jax.random.fold_in(ki, 1), self.n // 100)
+        gpx = jax.vmap(jax.grad(p_fn))(xv)[..., 0]
+        gpy = jax.vmap(jax.grad(p_fn))(xh)[..., 1]
+        return main + jnp.mean(gpx ** 2) + jnp.mean(gpy ** 2)
 
-    @partial(jax.jit, static_argnums=(0,))
+    def _project_loss(self, p, ki, prev, p_params):
+        x = sample_interior(ki, self.n)
+        u_prev = self._vel(prev, x)
+
+        def p_fn(pt):
+            return jnp.reshape(apply_siren(p_params, self.p_cfg, pt), ())
+
+        grad_p = jax.vmap(jax.grad(p_fn))(x)
+        main = jnp.mean((self._vel(p, x) - (u_prev - grad_p)) ** 2)
+        return main + self._bc_loss(p, jax.random.fold_in(ki, 1))
+
+    # ---- phase drivers
+
+    def fit_source(self, params, key):
+        return self._fits["source"].fit(params, key, self.max_n_iters)
+
+    def advect(self, params, prev, key):
+        return self._fits["advect"].fit(params, key, self.max_n_iters,
+                                        ctx=(prev,))[0]
+
+    def solve_pressure(self, p_params, vel_params, key):
+        return self._fits["pressure"].fit(p_params, key, self.max_n_iters,
+                                          ctx=(vel_params,))[0]
+
     def project(self, params, prev, p_params, key):
-        def loss_fn(p, ki):
-            x = sample_interior(ki, self.n)
-            u_prev = self._vel(prev, x)
-
-            def p_fn(pt):
-                return jnp.reshape(apply_siren(p_params, self.p_cfg, pt), ())
-
-            grad_p = jax.vmap(jax.grad(p_fn))(x)
-            main = jnp.mean((self._vel(p, x) - (u_prev - grad_p)) ** 2)
-            return main + self._bc_loss(p, jax.random.fold_in(ki, 1))
-        return adam_fit(params, key, loss_fn, self.lr, self.max_n_iters)[0]
+        return self._fits["project"].fit(params, key, self.max_n_iters,
+                                         ctx=(prev, p_params))[0]
 
     def step(self, state, key):
         """One INSR timestep: advect -> pressure -> project."""

@@ -7,7 +7,6 @@ n_out-per-channel basis coefficients combined by an inner product into
 (u, v, p). Trained with the same composite PINN loss (init / bound /
 NS residual / div, model.py:171-215).
 """
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -15,7 +14,6 @@ import numpy as np
 
 from .common import (SirenConfig, adam_fit, apply_siren, init_siren,
                      sample_boundary, sample_interior, tg_velocity)
-
 
 class PIDeepONetFluid:
     def __init__(self, num_hidden_layers=3, hidden_features=256, lr=1e-4,
@@ -58,8 +56,9 @@ class PIDeepONetFluid:
             jnp.asarray(t, jnp.float32), x.shape[:-1])[..., None]], -1)
         return self.field(state, xt)[..., :2]
 
-    @partial(jax.jit, static_argnums=(0,))
     def train(self, state, key):
+        # NOT jitted: adam_fit chains <=5k-trip device segments on the
+        # host (the 50k-iter single program faults the v5e worker)
         def loss_fn(st, ki):
             k0, k1, k2, k3 = jax.random.split(ki, 4)
             x0 = sample_interior(k0, self.n)

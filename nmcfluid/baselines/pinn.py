@@ -9,14 +9,12 @@ whole time range with a composite loss
   div   : div u = 0
 then evaluated per-frame for the error curve.
 """
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from .common import (SirenConfig, adam_fit, apply_siren, init_siren,
                      sample_boundary, sample_interior, tg_velocity)
-
 
 class PINNFluid:
     def __init__(self, num_hidden_layers=3, hidden_features=256, lr=1e-4,
@@ -41,8 +39,9 @@ class PINNFluid:
             jnp.asarray(t, jnp.float32), x.shape[:-1])[..., None]], -1)
         return apply_siren(state["u"], self.u_cfg, xt)
 
-    @partial(jax.jit, static_argnums=(0,))
     def train(self, state, key):
+        # NOT jitted: adam_fit chains <=5k-trip device segments on the
+        # host (the 50k-iter single program faults the v5e worker)
         def loss_fn(st, ki):
             k0, k1, k2, k3 = jax.random.split(ki, 4)
             # init
