@@ -86,6 +86,15 @@ def build_parser():
                    help="run the density/export replay after simulating")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the MC solve over N devices (0 = off)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of timestep "
+                        "1 into DIR (open with TensorBoard/XProf); "
+                        "per-stage wall-clock prints are always on via "
+                        "--stage_times")
+    p.add_argument("--stage_times", action="store_true",
+                   help="print the per-stage wall-clock breakdown "
+                        "(advect fit / div grid / WoSt / projection fit) "
+                        "each timestep")
     return p
 
 
@@ -298,17 +307,28 @@ def main(argv=None):
     if scene.name == "karman":
         state = state._replace(eps=state.eps / 2)
 
+    fluid.profile = bool(args.stage_times)
     energy = []
     for it in range(n_steps):
         t0 = time.time()
         # re-fit the source while t < src_duration (main.py:170-171)
         if 0 < it < scene.src_duration:
             state = fluid.add_source(state)
+        tracing = args.profile_dir and it == 0
+        if tracing:
+            jax.profiler.start_trace(args.profile_dir)
+        fluid.stage_times = {}
         state = fluid.step(state)
         jax.block_until_ready(state.params)   # async dispatch: sync first
+        if tracing:
+            jax.profiler.stop_trace()
+            print(f"profiler trace -> {args.profile_dir}")
         t = int(state.timestep)
         print(f"timestep {t}: {time.time() - t0:.1f}s "
               f"P={float(state.P):.3e}")
+        if args.stage_times and fluid.stage_times:
+            print("  stages: " + "  ".join(
+                f"{k}={v:.1f}s" for k, v in fluid.stage_times.items()))
         save_ckpt(model_dir, state.params, t)
         if args.draw:
             draw_frame(fluid, state, dirs, t)

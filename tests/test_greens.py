@@ -196,3 +196,41 @@ def test_stable_gradient_ratios_bounded_at_large_Z():
         r = 0.5 * R
         g = np.asarray(G.grad_norm_over_eval(ball, r))
         assert np.all(np.isfinite(g)) and np.all(np.abs(g) < 1e4)
+
+
+def test_packed_table_lookup_matches_unpacked():
+    """pack_quads/pack_pairs re-layout the inverse-CDF tables so a draw
+    costs one gather; values must be bit-identical to the 4-gather
+    bilinear (resp. 2-gather linear) lookup of the raw table."""
+    import jax
+    import jax.numpy as jnp
+    from nmcfluid.ops import radial_tables as rt
+
+    key = jax.random.PRNGKey(3)
+    u = jax.random.uniform(key, (4096,))
+    Z = jnp.exp(jax.random.uniform(jax.random.fold_in(key, 1), (4096,),
+                                   minval=-9.0, maxval=7.5))
+    for dim in (2, 3):
+        table = rt.build_table(dim).astype("float32")
+        packed = rt.sample_t_screened_u(rt.pack_quads(table), Z, u)
+
+        tj = jnp.asarray(table)
+        zi = (jnp.log(jnp.clip(Z, rt._Z_MIN, rt._Z_MAX))
+              - rt._LOG_Z_MIN) / rt._DLOG
+        i0 = jnp.clip(jnp.floor(zi).astype(jnp.int32), 0, rt._N_Z - 2)
+        wi = jnp.clip(zi - i0, 0.0, 1.0)
+        uj = u * (rt._N_U - 1)
+        j0 = jnp.clip(jnp.floor(uj).astype(jnp.int32), 0, rt._N_U - 2)
+        wj = uj - j0
+        ref = ((1 - wi) * ((1 - wj) * tj[i0, j0] + wj * tj[i0, j0 + 1])
+               + wi * ((1 - wj) * tj[i0 + 1, j0] + wj * tj[i0 + 1, j0 + 1]))
+        np.testing.assert_array_equal(np.asarray(packed), np.asarray(ref))
+
+    h = rt.build_harmonic2d_table().astype("float32")
+    packed = rt.sample_t_harmonic2d_u(rt.pack_pairs(h), u)
+    hj = jnp.asarray(h)
+    uj = u * (rt._N_U - 1)
+    j0 = jnp.clip(jnp.floor(uj).astype(jnp.int32), 0, rt._N_U - 2)
+    wj = uj - j0
+    ref = (1 - wj) * hj[j0] + wj * hj[j0 + 1]
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(ref))
