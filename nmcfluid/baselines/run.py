@@ -41,6 +41,7 @@ def main(argv=None):
     errors = []
     key = jax.random.PRNGKey(0)
 
+    path = os.path.join(args.out, f"error_{args.method}.txt")
     if args.method == "insr":
         m = INSRFluid(dt=args.dt,
                       max_n_iters=args.max_n_iters or 20_000,
@@ -52,6 +53,7 @@ def main(argv=None):
             st = m.step(st, jax.random.fold_in(key, f + 1))
             e = error_of(lambda x: m._vel(st["vel"], x), coords, truth)
             errors.append(e)
+            np.savetxt(path, errors)   # incremental: ~5 min/frame on TPU
             print(f"frame {f + 1}: err={e:.6e} ({time.time() - t0:.1f}s)",
                   flush=True)
     else:
@@ -75,7 +77,6 @@ def main(argv=None):
             errors.append(e)
             print(f"frame {f + 1}: err={e:.6e}", flush=True)
 
-    path = os.path.join(args.out, f"error_{args.method}.txt")
     np.savetxt(path, errors)
     print(f"mean error {np.mean(errors):.6e} -> {path}")
 
