@@ -92,6 +92,38 @@ def adam_fit(params, key, loss_fn, lr, max_iters, tol=1.1e-10):
     return SegmentedAdam(loss_fn, lr, tol).fit(params, key, max_iters)
 
 
+def ref_pipeline_error(vel_np, method):
+    """Score an (N, N, 2) velocity grid sampled at CELL CENTERS through
+    the reference's published evaluation pipeline, which compares it
+    against truth at VERTICES — a half-texel misalignment worth 3.94e-3
+    at N=50 resp. 8.0e-4 at N=100 even for the EXACT field:
+      * velocity saved at centers: save_vel.py:28 / base/sampling.py:7
+        ((i+0.5)/N * 2 - 1)
+      * truth at vertices: tlgn_error.py grid_coords/N * 2pi
+    pinn/pideeponet (N=50, mean||e||^2): published 3.951e-3 / 3.945e-3
+    vs exact-field floor 3.943e-3 — the published curves are ~100%
+    evaluation artifact. INSR (N=100, (mean||e||)^2 — note the different
+    metric, INSR-PDE/tlgn_error.py:94): floor 8.0e-4 of the published
+    1.024e-3. Kept so the rebuilds can REPRODUCE the published numbers;
+    the honest consistent-grid metric is error_of in run.py."""
+    N = vel_np.shape[0]
+    ang = np.arange(N) / N * 2.0 * np.pi
+    ax, ay = np.meshgrid(ang, ang, indexing="ij")
+    truth = np.stack([np.sin(ax) * np.cos(ay), -np.cos(ax) * np.sin(ay)],
+                     -1)
+    if method == "insr":
+        return float(np.mean(np.linalg.norm(vel_np - truth, axis=2)) ** 2)
+    return float(np.mean(np.sum((vel_np - truth) ** 2, axis=-1)))
+
+
+def centers_grid(n):
+    """The reference save_vel / sample_uniform cell-center grid on
+    [-1, 1]^2 ((i + 0.5)/n * 2 - 1)."""
+    ax = (np.arange(n) + 0.5) / n * 2.0 - 1.0
+    gx, gy = np.meshgrid(ax, ax, indexing="ij")
+    return jnp.asarray(np.stack([gx, gy], -1), jnp.float32)
+
+
 def tg_error_curve_grid(n=1000):
     """Evaluation grid + truth for the baselines' tlgn_error convention."""
     ang = np.arange(n) / n * 2.0 * np.pi
