@@ -18,13 +18,16 @@ from .common import (SirenConfig, adam_fit, apply_siren, init_siren,
 class PIDeepONetFluid:
     def __init__(self, num_hidden_layers=3, hidden_features=256, lr=1e-4,
                  max_n_iters=50_000, sample_resolution=128, t_range=2.5,
-                 n_sensors=100, n_basis=60, n_fields=3):
-        # defaults = piDeepONetSolver/config.py:93-94,105,108,146
+                 n_sensors=100, n_out=60, n_fields=3):
+        # defaults = piDeepONetSolver/config.py:93-94,105,108,146 +
+        # model.py:36-44: n_out=60 coefficients TOTAL, split 20 per
+        # field (networks.py:19-20), combined by an UNnormalized inner
+        # product plus a learned per-field bias (networks.py:16,28)
         self.n_fields = n_fields
-        self.n_basis = n_basis
-        self.branch_cfg = SirenConfig(n_sensors * 2, n_basis * n_fields,
+        self.n_basis = n_out // n_fields
+        self.branch_cfg = SirenConfig(n_sensors * 2, n_out,
                                       num_hidden_layers, hidden_features)
-        self.trunk_cfg = SirenConfig(3, n_basis * n_fields,
+        self.trunk_cfg = SirenConfig(3, n_out,
                                      num_hidden_layers, hidden_features)
         self.lr = lr
         self.max_n_iters = max_n_iters
@@ -41,15 +44,17 @@ class PIDeepONetFluid:
     def init(self, seed=0):
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         return dict(branch=init_siren(k1, self.branch_cfg),
-                    trunk=init_siren(k2, self.trunk_cfg))
+                    trunk=init_siren(k2, self.trunk_cfg),
+                    b=jnp.zeros((self.n_fields,), jnp.float32))
 
     def field(self, state, xt):
-        """(..., 3) -> (..., n_fields): inner product of basis coeffs."""
+        """(..., 3) -> (..., n_fields): sum_k B_k T_k + b
+        (networks.py:23-29; no normalization)."""
         b = apply_siren(state["branch"], self.branch_cfg, self.v0)
         t = apply_siren(state["trunk"], self.trunk_cfg, xt)
         b = b.reshape(self.n_fields, self.n_basis)
         t = t.reshape(xt.shape[:-1] + (self.n_fields, self.n_basis))
-        return jnp.sum(b * t, axis=-1) / self.n_basis
+        return jnp.sum(b * t, axis=-1) + state["b"]
 
     def velocity(self, state, x, t):
         xt = jnp.concatenate([x, jnp.broadcast_to(
