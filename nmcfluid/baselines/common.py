@@ -50,37 +50,63 @@ class SegmentedAdam:
     <= _SEG trips chained on the host (see _SEG). Construct ONCE per
     loss (e.g. in a model's __init__): the segment program is cached on
     this instance, so per-frame refits don't recompile. Loss data that
-    changes between fits (previous nets etc.) arrives via `ctx`."""
+    changes between fits (previous nets etc.) arrives via `ctx`.
 
-    def __init__(self, loss_fn, lr, tol=1.1e-10):
+    With plateau=True the lr follows INSR's ReduceLROnPlateau recipe
+    (base/baseModel.py:55-62,132-134: factor 0.1, patience 500,
+    min_lr 1e-8, early stop once lr <= 1.1e-8; torch 'rel' improvement
+    threshold 1e-4). Deviation: the plateau monitors the SUMMED loss,
+    not the 'main' term alone — the auxiliary terms are small."""
+
+    def __init__(self, loss_fn, lr, tol=1.1e-10, plateau=False):
         self.loss_fn = loss_fn   # loss_fn(params, key_i, *ctx) -> scalar
-        self.opt = optax.adam(lr)
+        self.lr0 = float(lr)
+        self.opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
         self.tol = tol
+        self.plateau = plateau
 
     @partial(jax.jit, static_argnums=(0,))
-    def _segment(self, params, opt_state, key, i0, hi, ctx):
+    def _segment(self, params, opt_state, key, i0, hi, lr, best, stall,
+                 ctx):
         def cond(c):
-            i, _, _, loss = c
-            return (i < hi) & (loss > self.tol)
+            i, _, _, loss, lr, _, _ = c
+            go = (i < hi) & (loss > self.tol)
+            if self.plateau:
+                go = go & (lr > 1.1e-8)
+            return go
 
         def body(c):
-            i, p, s, _ = c
+            i, p, s, _, lr, best, stall = c
+            s.hyperparams["learning_rate"] = lr
             l, g = jax.value_and_grad(self.loss_fn)(
                 p, jax.random.fold_in(key, i), *ctx)
             up, s = self.opt.update(g, s)
-            return i + 1, optax.apply_updates(p, up), s, l
+            if self.plateau:
+                improved = l < best * (1.0 - 1e-4)
+                best = jnp.minimum(best, l)
+                stall = jnp.where(improved, 0, stall + 1)
+                drop = stall > 500
+                lr = jnp.where(drop, jnp.maximum(lr * 0.1, 1e-8), lr)
+                stall = jnp.where(drop, 0, stall)
+            return (i + 1, optax.apply_updates(p, up), s, l, lr, best,
+                    stall)
 
         return jax.lax.while_loop(
-            cond, body, (i0, params, opt_state, jnp.float32(jnp.inf)))
+            cond, body,
+            (i0, params, opt_state, jnp.float32(jnp.inf), lr, best, stall))
 
     def fit(self, params, key, max_iters, ctx=()):
         opt_state = self.opt.init(params)
         i = jnp.int32(0)
         loss = jnp.float32(jnp.inf)
+        lr = jnp.float32(self.lr0)
+        best = jnp.float32(jnp.inf)
+        stall = jnp.int32(0)
         for lo in range(0, max_iters, _SEG):
             hi = min(lo + _SEG, max_iters)
-            i, params, opt_state, loss = self._segment(
-                params, opt_state, key, i, jnp.int32(hi), ctx)
+            i, params, opt_state, loss, lr, best, stall = self._segment(
+                params, opt_state, key, i, jnp.int32(hi), lr, best, stall,
+                ctx)
             if int(i) < hi:   # early stop fired inside the segment
                 break
         return params, i, loss

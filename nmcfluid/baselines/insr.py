@@ -30,12 +30,15 @@ class INSRFluid:
         self.dt = dt
         self.bc_weight = bc_weight
         # one fitter per phase, built once: each caches its compiled
-        # <=5k-trip Adam segment (SegmentedAdam docstring) across frames
+        # <=5k-trip Adam segment (SegmentedAdam docstring) across frames.
+        # plateau=True = the reference's ReduceLROnPlateau per phase
+        # (base/baseModel.py:61, factor 0.1 / patience 500 / min_lr 1e-8)
         self._fits = {
-            "source": SegmentedAdam(self._source_loss, lr),
-            "advect": SegmentedAdam(self._advect_loss, lr),
-            "pressure": SegmentedAdam(self._pressure_loss, lr),
-            "project": SegmentedAdam(self._project_loss, lr),
+            "source": SegmentedAdam(self._source_loss, lr, plateau=True),
+            "advect": SegmentedAdam(self._advect_loss, lr, plateau=True),
+            "pressure": SegmentedAdam(self._pressure_loss, lr,
+                                      plateau=True),
+            "project": SegmentedAdam(self._project_loss, lr, plateau=True),
         }
 
     def init(self, seed=0):
