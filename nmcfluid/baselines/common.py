@@ -66,8 +66,8 @@ class SegmentedAdam:
         self.plateau = plateau
 
     @partial(jax.jit, static_argnums=(0,))
-    def _segment(self, params, opt_state, key, i0, hi, lr, best, stall,
-                 ctx):
+    def _segment(self, params, opt_state, key, i0, hi, loss, lr, best,
+                 stall, ctx):
         def cond(c):
             i, _, _, loss, lr, _, _ = c
             go = (i < hi) & (loss > self.tol)
@@ -91,9 +91,11 @@ class SegmentedAdam:
             return (i + 1, optax.apply_updates(p, up), s, l, lr, best,
                     stall)
 
+        # carry the previous segment's loss in (not inf): a stop landing
+        # exactly on a segment boundary must report the real loss, and
+        # the tol check must not defer one iteration per boundary
         return jax.lax.while_loop(
-            cond, body,
-            (i0, params, opt_state, jnp.float32(jnp.inf), lr, best, stall))
+            cond, body, (i0, params, opt_state, loss, lr, best, stall))
 
     def fit(self, params, key, max_iters, ctx=()):
         opt_state = self.opt.init(params)
@@ -105,8 +107,8 @@ class SegmentedAdam:
         for lo in range(0, max_iters, _SEG):
             hi = min(lo + _SEG, max_iters)
             i, params, opt_state, loss, lr, best, stall = self._segment(
-                params, opt_state, key, i, jnp.int32(hi), lr, best, stall,
-                ctx)
+                params, opt_state, key, i, jnp.int32(hi), loss, lr, best,
+                stall, ctx)
             if int(i) < hi:   # early stop fired inside the segment
                 break
         return params, i, loss

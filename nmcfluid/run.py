@@ -311,9 +311,17 @@ def main(argv=None):
     energy = []
     for it in range(n_steps):
         t0 = time.time()
-        # re-fit the source while t < src_duration (main.py:170-171)
-        if 0 < it < scene.src_duration:
-            state = fluid.add_source(state)
+        # re-fit the source while the ABSOLUTE frame counter t is in
+        # (0, src_duration) (main.py:164-171: t = fluid.timestep - 1) —
+        # keyed on state.timestep, not the loop index, so --ckpt resumes
+        # don't re-apply the source at the wrong frames. The reference
+        # increments fluid.timestep before re-sourcing, so the fit sees
+        # the upcoming step's time (time-seeded jets).
+        ts = int(state.timestep)
+        if 0 < ts < scene.src_duration:
+            state = fluid.add_source(
+                state._replace(timestep=state.timestep + 1))
+            state = state._replace(timestep=state.timestep - 1)
         tracing = args.profile_dir and it == 0
         if tracing:
             jax.profiler.start_trace(args.profile_dir)

@@ -89,8 +89,13 @@ def _free_dP(dim, lam, d, r, n):
         s = math.sqrt(lam)
         z = s * r
         e = jnp.exp(-z)
+        # P = e^{-z}(1+z)(d.n)/(4 pi r^3); grad_x P = Qr1 n - f d with
+        # 2 Qr1 + Qr2 = -r^4 f'(r)-style coefficient. d/dr of
+        # e^{-z}(1+z)/r^3 gives the screening polynomial z^2 + 3z + 3,
+        # so Qr2 = e^{-z}(z^2 + z + 1)/r (verified against float64
+        # finite differences; reduces to the harmonic 3/r split at z=0).
         Qr1 = s * e * (1.0 + 1.0 / jnp.maximum(z, 1e-12))
-        Qr2 = s * e / jnp.maximum(z, 1e-12)
+        Qr2 = e * (z * z + z + 1.0) / r
         return (n * Qr1 - (ndotd / r ** 2) * (2.0 * Qr1 + Qr2) * d) \
             / (4.0 * jnp.pi * r ** 2)
     return (n - 3.0 * (ndotd / r ** 2) * d) / (4.0 * jnp.pi * r ** 3)
@@ -208,6 +213,10 @@ def evaluate(scene: WostScene, cache: BoundaryCache, eval_pts, src_pts,
         u_b = alpha * u_b
 
     if with_gradient:
+        # NOTE: like the reference, only the VALUE kernels are
+        # regularized — splatBoundaryData applies the factors to G and P
+        # but uses dG/dP raw (splatter.h:232-247); near-cache gradient
+        # spikes are bounded by radius_clamp alone.
         dG = (dGdr / r_safe)[..., None] * d               # grad_x G
         dP = _free_dP(dim, lam, d, r, cache.normals[None])
         g_b = jnp.sum((dG * h[..., None] - dP * cache.solution[None, :, None])

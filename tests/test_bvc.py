@@ -130,3 +130,47 @@ def test_bvc_nonzero_neumann_data():
                  radius_clamp=1e-3, kernel_regularization=0.05)
     np.testing.assert_allclose(np.asarray(u), np.asarray(p_star(eval_pts)),
                                atol=0.08)
+
+
+def test_free_poisson_kernel_gradient_matches_finite_differences():
+    """grad_x P for all four (dim, lam) branches vs float64 central
+    differences of P(x) = -dG/dr (x-y).n/r — regression for the 3D
+    Yukawa screening polynomial (z^2 + z + 1)."""
+    import numpy as np
+    from nmcfluid.wost import bvc
+
+    def P_np(dim, lam, x, y, n):
+        d = x - y
+        r = np.linalg.norm(d)
+        co = float(np.dot(d, n)) / r
+        dgdr = np.asarray(bvc._free_dGdr(dim, lam, np.float64(r)))
+        return -float(dgdr) * co
+
+    rng = np.random.default_rng(0)
+    for dim in (2, 3):
+        for lam in (0.0, 30.0, 350.0):
+            for _ in range(5):
+                y = rng.normal(size=dim)
+                n = rng.normal(size=dim)
+                n /= np.linalg.norm(n)
+                x = y + rng.normal(size=dim) * 0.3
+                if np.linalg.norm(x - y) < 0.05:
+                    x = y + 0.2 * n
+                d = (x - y)[None, None, :]
+                r = np.linalg.norm(d, axis=-1)
+                got = np.asarray(bvc._free_dP(
+                    dim, lam, d, r, n[None, None, :]))[0, 0]
+                eps = 1e-6
+                fd = np.zeros(dim)
+                for k in range(dim):
+                    dx = np.zeros(dim)
+                    dx[k] = eps
+                    fd[k] = (P_np(dim, lam, x + dx, y, n)
+                             - P_np(dim, lam, x - dx, y, n)) / (2 * eps)
+                # tolerance is relative to the VECTOR magnitude: f32
+                # Bessel cancellation leaves a few % on near-zero
+                # components (formulas check to 5e-7 in f64); the 3D
+                # Yukawa bug this guards against was 50-90% off
+                scale = np.max(np.abs(fd)) + 1e-6
+                np.testing.assert_allclose(got / scale, fd / scale,
+                                           rtol=0.0, atol=3e-2)
