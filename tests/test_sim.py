@@ -136,3 +136,35 @@ def test_adv_ref_variant_runs():
     st1 = fl.step(st)
     u = np.asarray(fl.sample_velocity_grid(st1, 8))
     assert np.all(np.isfinite(u))
+
+
+def test_src_duration_resourcing_keyed_on_absolute_timestep(tmp_path,
+                                                            monkeypatch):
+    """--src_duration re-fits the source at absolute frames 0 < t < dur
+    (main.py:164-171) — resuming from a checkpoint past the window must
+    NOT re-apply the source (regression: the window was keyed on the
+    loop index)."""
+    from nmcfluid import run as run_mod
+    from nmcfluid.sim.fluid import NeuralFluid
+
+    calls = []
+    orig = NeuralFluid.add_source
+
+    def counting(self, state):
+        calls.append(int(state.timestep))
+        return orig(self, state)
+
+    monkeypatch.setattr(NeuralFluid, "add_source", counting)
+    args = ["taylorgreen", "--n_timesteps", "3", "--max_n_iters", "5",
+            "--sample_resolution", "8", "--wost_resolution", "8",
+            "--div_resolution", "16", "--n_walks", "8",
+            "--walk_step_cap", "8", "--src_duration", "3",
+            "--out", str(tmp_path)]
+    run_mod.main(args)
+    # initial fit at t=0 plus re-fits before producing frames 2 and 3
+    # (reference increments fluid.timestep first, so the fit sees t+1)
+    assert calls == [0, 2, 3]
+
+    calls.clear()
+    run_mod.main(args + ["--ckpt", "3"])   # resume past the window
+    assert calls == []                      # no re-sourcing on resume
