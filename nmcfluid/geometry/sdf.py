@@ -22,11 +22,15 @@ def circle(center, radius):
 
 
 def sphere(center, radius):
-    c = jnp.asarray(center, dtype=jnp.float32)
+    # host floats, NOT a jnp constant: these factories are built lazily
+    # from SceneSpec.obstacle_sdf (a cached_property), possibly under a
+    # jit trace — a jnp array created there leaks into later traces
+    c = tuple(float(v) for v in center)
     r = float(radius)
 
     def f(x):
-        return jnp.linalg.norm(x - c, axis=-1) - r
+        d2 = sum((x[..., i] - c[i]) ** 2 for i in range(len(c)))
+        return jnp.sqrt(d2) - r
     return f
 
 

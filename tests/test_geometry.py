@@ -135,3 +135,20 @@ def test_reflex_edges_detected():
     assert len(real) >= 1
     has_corner = np.any(np.all(np.abs(real[:, :2] - 1.0) < 1e-6, axis=1))
     assert has_corner
+
+
+def test_obstacle_sdf_factories_are_trace_safe():
+    """SceneSpec.obstacle_sdf is a cached_property usually first built
+    INSIDE a jit trace; the factory must not bake jnp constants into the
+    closure (regression: sdf.sphere leaked a traced constant and
+    smoke_obs crashed with UnexpectedTracerError on the second trace)."""
+    import jax
+    import jax.numpy as jnp
+    from nmcfluid.scenes import get_scene
+
+    for name in ("karman", "smoke_obs", "karman3d"):
+        spec = get_scene(name)
+        x = jnp.zeros((4, spec.dim))
+        jax.jit(spec.fluid_mask)(x)              # builds the cached sdf
+        out = jax.jit(lambda y: spec.fluid_mask(y))(x)   # reuses it
+        assert out.shape == (4,)
