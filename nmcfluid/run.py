@@ -84,6 +84,9 @@ def build_parser():
                    help="save velocity/vorticity pngs per frame")
     p.add_argument("--density", action="store_true",
                    help="run the density/export replay after simulating")
+    p.add_argument("--density_resolution", type=int, default=None,
+                   help="density transport grid (default: the "
+                        "reference's 1000^2 / 200^3, move_density.py)")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the MC solve over N devices (0 = off)")
     p.add_argument("--profile_dir", default=None,
@@ -226,12 +229,12 @@ def run_density(fluid, args, exp_dir, model_dir):
         pass
     # vortex_collide ships a red/blue ring color grid in every frame's VDB
     # (3d/move_density.py:112-116,230-243)
+    n_dens = args.density_resolution or (1000 if scene.dim == 2 else 200)
     col = None
     if scene.name == "vortex_collide":
-        col = np.asarray(init_density(scene, 200)[1])
+        col = np.asarray(init_density(scene, n_dens)[1])
     for t, d_grid, vel, err in transport_rollout(
-            fluid, params_iter(),
-            n=(1000 if scene.dim == 2 else 200)):
+            fluid, params_iter(), n=n_dens):
         if scene.dim == 2:
             vis.draw_scalar_field2d(np.asarray(d_grid),
                                     os.path.join(dens_dir,
