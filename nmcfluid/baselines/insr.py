@@ -24,7 +24,6 @@ class INSRFluid:
         # config.py:107-108: max_n_iters 20000, lr 1e-4)
         self.vel_cfg = SirenConfig(2, 2, num_hidden_layers, hidden_features)
         self.p_cfg = SirenConfig(2, 1, num_hidden_layers, hidden_features)
-        self.lr = lr
         self.max_n_iters = max_n_iters
         self.n = sample_resolution ** 2
         self.dt = dt

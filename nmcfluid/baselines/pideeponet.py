@@ -7,13 +7,13 @@ n_out-per-channel basis coefficients combined by an inner product into
 (u, v, p). Trained with the same composite PINN loss (init / bound /
 NS residual / div, model.py:171-215).
 """
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .common import (SirenConfig, adam_fit, apply_siren, init_siren,
                      sample_boundary, sample_interior, tg_velocity)
+
 
 class PIDeepONetFluid:
     def __init__(self, num_hidden_layers=3, hidden_features=256, lr=1e-4,

@@ -20,6 +20,7 @@ with the adv_ref=1 (MacCormack/reflection) variant doubling both phases
 crossing into C++/TBB; its per-step divergence grid is threaded through the
 solver as a dynamic argument so each scene compiles exactly once.
 """
+import time
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -143,7 +144,6 @@ class NeuralFluid:
         wall-clock under stage_times[name]."""
         if not self.profile:
             return fn(*args)
-        import time
         t0 = time.time()
         out = fn(*args)
         jax.block_until_ready(out)
