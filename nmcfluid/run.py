@@ -78,7 +78,9 @@ def build_parser():
     p.add_argument("--vel_vis_resolution", type=int, default=None)
     p.add_argument("--early_stop_loss", type=float, default=None)
     p.add_argument("--ckpt", type=int, default=-1,
-                   help="resume from step N (config.py --ckpt)")
+                   help="resume from step N (config.py --ckpt). Like the "
+                        "reference's loop, --n_timesteps counts steps run "
+                        "THIS invocation, not the absolute final step")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--draw", action="store_true",
                    help="save velocity/vorticity pngs per frame")
