@@ -14,7 +14,9 @@ writes TWO curves per method:
     _refpipe file, and method quality against the honest one.
 """
 import argparse
+import glob
 import os
+import re
 import time
 
 import jax
@@ -24,6 +26,15 @@ from .common import centers_grid, ref_pipeline_error, tg_error_curve_grid
 from .insr import INSRFluid
 from .pinn import PINNFluid
 from .pideeponet import PIDeepONetFluid
+from ..utils.checkpoint import load_ckpt, save_ckpt
+
+
+def latest_insr_ckpt(ck_dir):
+    """Highest-step `ckpt_step_tNNN.npz` in ck_dir, or None."""
+    steps = [int(m.group(1)) for p in glob.glob(
+        os.path.join(ck_dir, "ckpt_step_t*.npz"))
+        if (m := re.search(r"ckpt_step_t(\d+)\.npz$", p))]
+    return max(steps) if steps else None
 
 
 def error_of(vel_fn, coords, truth, chunk=200_000):
@@ -44,6 +55,11 @@ def main(argv=None):
     ap.add_argument("--sample_resolution", type=int, default=128)
     ap.add_argument("--grid", type=int, default=1000)
     ap.add_argument("--out", default="results/baselines")
+    ap.add_argument("--resume", action="store_true",
+                    help="INSR only: continue from the latest per-frame "
+                         "checkpoint in <out>/ckpt_insr (frames are "
+                         "sequential network state, so a cut run would "
+                         "otherwise restart from frame 0)")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     coords, truth = tg_error_curve_grid(args.grid)
@@ -74,12 +90,29 @@ def main(argv=None):
         m = INSRFluid(dt=args.dt,
                       max_n_iters=args.max_n_iters or 20_000,
                       sample_resolution=args.sample_resolution)
+        ck_dir = os.path.join(args.out, "ckpt_insr")
         st = m.init()
-        st["vel"], i, l = m.fit_source(st["vel"], key)[0:3]
-        for f in range(args.frames):
+        start = 0
+        last = latest_insr_ckpt(ck_dir) if args.resume else None
+        if last is not None:
+            st, start = load_ckpt(ck_dir, st, last)
+            # reload the incremental curves up to the resume point; the
+            # per-frame RNG is fold_in(key, f+1) (stateless), so the
+            # continued run is identical to an uncut one
+            errors.extend(np.atleast_1d(np.loadtxt(path))[:start])
+            errors_ref.extend(np.atleast_1d(np.loadtxt(path_ref))[:start])
+            print(f"resumed from checkpoint t{last} "
+                  f"({len(errors)} recorded frames)", flush=True)
+        else:
+            st["vel"], i, l = m.fit_source(st["vel"], key)[0:3]
+            save_ckpt(ck_dir, st, 0)
+        for f in range(start, args.frames):
             t0 = time.time()
             st = m.step(st, jax.random.fold_in(key, f + 1))
             record(lambda x: m._vel(st["vel"], x), t0)
+            # after record: a cut between the two re-runs this frame on
+            # resume instead of leaving a hole in the curve
+            save_ckpt(ck_dir, st, f + 1)
     else:
         # t_range stays the reference's 2.5 (config.py:143) even though
         # the error curve evaluates only t in [0, frames * dt] = [0, 0.05]

@@ -49,3 +49,20 @@ def test_pideeponet_smoke():
     assert np.isfinite(float(l))
     u = m.velocity(st, jnp.zeros((4, 2)), 0.005)
     assert u.shape == (4, 2) and np.all(np.isfinite(np.asarray(u)))
+
+
+def test_insr_runner_resume_matches_uncut(tmp_path):
+    # a cut-and-resumed INSR run must reproduce the uncut curve exactly
+    # (per-frame RNG is fold_in(key, f+1); state round-trips via npz)
+    from nmcfluid.baselines.run import main
+    tiny = ["--max_n_iters", "60", "--sample_resolution", "8",
+            "--grid", "12"]
+    a, b = str(tmp_path / "uncut"), str(tmp_path / "cut")
+    main(["insr", "--frames", "3", "--out", a] + tiny)
+    main(["insr", "--frames", "2", "--out", b] + tiny)
+    main(["insr", "--frames", "3", "--out", b, "--resume"] + tiny)
+    for f in ("error_insr.txt", "error_insr_refpipe.txt"):
+        ea = np.loadtxt(f"{a}/{f}")
+        eb = np.loadtxt(f"{b}/{f}")
+        assert ea.shape == (3,)
+        np.testing.assert_array_equal(ea, eb)
