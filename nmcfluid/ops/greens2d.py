@@ -110,9 +110,8 @@ class Harmonic2D:
         if _H2D_TABLE is None:
             # numpy on purpose: a jnp constant created under one trace
             # would leak into later traces via this cache
-            _H2D_TABLE = rt.pack_pairs(
-                rt.build_harmonic2d_table().astype("float32"))
-        t = rt.sample_t_harmonic2d_u(_H2D_TABLE, u2[..., 0])
+            _H2D_TABLE = rt.build_harmonic2d_table().astype("float32")
+        t = rt.sample_t_harmonic2d_u_mm(_H2D_TABLE, u2[..., 0])
         r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
         return r, Harmonic2D.eval(ball, r)
 
@@ -131,8 +130,8 @@ class Yukawa2D:
         self.lam = float(lam)
         self.sqrt_lam = math.sqrt(float(lam))
         from . import radial_tables as rt
-        # numpy (trace-safe), quad-packed: one gather per radius draw
-        self._table = rt.pack_quads(rt.build_table(2).astype("float32"))
+        # numpy (trace-safe), raw: draws use the gather-free matmul form
+        self._table = rt.build_table(2).astype("float32")
 
     def make_ball(self, R):
         Z = self.sqrt_lam * R
@@ -214,7 +213,7 @@ class Yukawa2D:
 
     def sample_radius_u(self, ball, u2):
         from . import radial_tables as rt
-        t = rt.sample_t_screened_u(self._table, ball.Z, u2[..., 0])
+        t = rt.sample_t_screened_u_mm(self._table, ball.Z, u2[..., 0])
         r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
         return r, self.eval(ball, r)
 

@@ -121,8 +121,8 @@ class Yukawa3D:
         self.lam = float(lam)
         self.sqrt_lam = math.sqrt(float(lam))
         from . import radial_tables as rt
-        # numpy (trace-safe), quad-packed: one gather per radius draw
-        self._table = rt.pack_quads(rt.build_table(3).astype("float32"))
+        # numpy (trace-safe), raw: draws use the gather-free matmul form
+        self._table = rt.build_table(3).astype("float32")
 
     def make_ball(self, R):
         Z = self.sqrt_lam * R
@@ -197,6 +197,6 @@ class Yukawa3D:
 
     def sample_radius_u(self, ball, u2):
         from . import radial_tables as rt
-        t = rt.sample_t_screened_u(self._table, ball.Z, u2[..., 0])
+        t = rt.sample_t_screened_u_mm(self._table, ball.Z, u2[..., 0])
         r = jnp.clip(t * ball.R, R_CLAMP, ball.R)
         return r, self.eval(ball, r)

@@ -111,6 +111,56 @@ def sample_t_screened_u(table_quads, Z, u):
             + wi * ((1 - wj) * q[..., 2] + wj * q[..., 3]))
 
 
+def sample_t_screened_u_mm(table, Z, u):
+    """As sample_t_screened_u but table-GATHER-FREE: `table` is the RAW
+    (N_Z, N_U) build_table(dim) output (f32).
+
+    TPU gathers serialize (~0.6 ms per 65k-lane draw measured in
+    wost/pallas_probe.py); expressing the same bilinear lookup as a
+    two-nonzero masked row times the table on the MXU is ~2-4x faster
+    in-loop and is the form a fused Pallas walk kernel can lower (Mosaic
+    cannot lower big-table per-lane gathers at all — probe round 2).
+
+    Contraction order is u-interp FIRST, then Z-interp — the reference
+    combine order — and the masked rows have exactly two nonzeros, so
+    the result matches the 4-gather bilinear lookup to ~1 ulp (matmul
+    FMAs leave the product unrounded before the add; on TPU HIGHEST the
+    3-pass bf16 products add another ~1 ulp). Irrelevant to an MC
+    estimator; asserted in tests/test_greens.py.
+    """
+    tj = jnp.asarray(table)
+    zi = (jnp.log(jnp.clip(Z, _Z_MIN, _Z_MAX)) - _LOG_Z_MIN) / _DLOG
+    i0 = jnp.clip(jnp.floor(zi).astype(jnp.int32), 0, _N_Z - 2)
+    wi = jnp.clip(zi - i0, 0.0, 1.0)
+    uj = u * (_N_U - 1)
+    j0 = jnp.clip(jnp.floor(uj).astype(jnp.int32), 0, _N_U - 2)
+    wj = uj - j0
+    lanes = jax.lax.broadcasted_iota(jnp.int32, u.shape + (_N_U,), u.ndim)
+    w = (jnp.where(lanes == j0[..., None], (1.0 - wj)[..., None], 0.0)
+         + jnp.where(lanes == j0[..., None] + 1, wj[..., None], 0.0))
+    P = jnp.einsum("...l,il->...i", w, tj,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)       # (..., N_Z)
+    rows = jax.lax.broadcasted_iota(jnp.int32, Z.shape + (_N_Z,), Z.ndim)
+    zsel = (jnp.where(rows == i0[..., None], (1.0 - wi)[..., None], 0.0)
+            + jnp.where(rows == i0[..., None] + 1, wi[..., None], 0.0))
+    return jnp.sum(P * zsel, axis=-1)
+
+
+def sample_t_harmonic2d_u_mm(table, u):
+    """Gather-free u-quantile interp of the RAW (N_U,) harmonic table:
+    a two-nonzero mask dotted with the broadcast table (pure VPU work,
+    no gather at all). Bit-identical to the pack_pairs lookup."""
+    h = jnp.asarray(table)
+    uj = u * (_N_U - 1)
+    j0 = jnp.clip(jnp.floor(uj).astype(jnp.int32), 0, _N_U - 2)
+    wj = uj - j0
+    lanes = jax.lax.broadcasted_iota(jnp.int32, u.shape + (_N_U,), u.ndim)
+    w = (jnp.where(lanes == j0[..., None], (1.0 - wj)[..., None], 0.0)
+         + jnp.where(lanes == j0[..., None] + 1, wj[..., None], 0.0))
+    return jnp.sum(w * h, axis=-1)
+
+
 def sample_t_harmonic2d(table_pairs, shape, key):
     return sample_t_harmonic2d_u(table_pairs,
                                  jax.random.uniform(key, shape))

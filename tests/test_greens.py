@@ -234,3 +234,34 @@ def test_packed_table_lookup_matches_unpacked():
     wj = uj - j0
     ref = (1 - wj) * hj[j0] + wj * hj[j0 + 1]
     np.testing.assert_array_equal(np.asarray(packed), np.asarray(ref))
+
+
+def test_matmul_table_lookup_matches_gather():
+    """The gather-free matmul form (sample_t_*_mm, used by the live
+    greens classes) must agree with the packed-gather lookup to ~1 ulp.
+    The contraction order matches (u-interp first) and the masked rows
+    have exactly two nonzeros, but the matmul kernel contracts with FMAs
+    (product unrounded before add), so individual draws can differ in
+    the last bit; the harmonic path has no matmul and stays exact."""
+    import jax
+    import jax.numpy as jnp
+    from nmcfluid.ops import radial_tables as rt
+
+    key = jax.random.PRNGKey(7)
+    u = jnp.concatenate([jax.random.uniform(key, (2048,)),
+                         jnp.array([0.0, 1.0, 0.5])])
+    Z = jnp.concatenate([
+        jnp.exp(jax.random.uniform(jax.random.fold_in(key, 1), (2048,),
+                                   minval=-9.0, maxval=9.0)),
+        jnp.array([rt._Z_MIN / 10, rt._Z_MAX * 10, 1.0])])
+    for dim in (2, 3):
+        table = rt.build_table(dim).astype("float32")
+        got = rt.sample_t_screened_u_mm(table, Z, u)
+        ref = rt.sample_t_screened_u(rt.pack_quads(table), Z, u)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-7)
+
+    h = rt.build_harmonic2d_table().astype("float32")
+    got = rt.sample_t_harmonic2d_u_mm(h, u)
+    ref = rt.sample_t_harmonic2d_u(rt.pack_pairs(h), u)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
