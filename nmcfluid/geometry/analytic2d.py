@@ -127,11 +127,16 @@ def ray_intersect(g: Analytic2D, o, d, t_max):
         t2 = -b + sq
         t = jnp.where(t1 > 0.0, t1, jnp.where(t2 > 0.0, t2, jnp.inf))
         t = jnp.where(disc >= 0.0, t, jnp.inf)
-        i = jnp.argmin(t, axis=-1)
-        tc = jnp.take_along_axis(t, i[..., None], -1)[..., 0]
+        # winning circle via min + one-hot weighted sum, NOT argmin +
+        # take_along_axis/row-gather: per-lane gathers serialize on TPU
+        # even over C=1 candidates (profiled at ~14 ms/trip for 524k
+        # lanes inside the karman walk loop — half the solve)
+        tc = jnp.min(t, axis=-1)
         better = tc < t_best
-        center = g.circles[i, :2]
-        radius = g.circles[i, 2]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 1)
+                  == jnp.argmin(t, axis=-1)[..., None]).astype(t.dtype)
+        center = jnp.sum(onehot[..., None] * g.circles[:, :2], axis=-2)
+        radius = jnp.sum(onehot * g.circles[:, 2], axis=-1)
         pt_c = o + tc[..., None] * d
         # normal toward the center (out of the fluid, into the obstacle)
         n_c = (center - pt_c) / jnp.maximum(radius[..., None], 1e-20)

@@ -7,6 +7,7 @@ Each query broadcasts a batch of points x (..., 2) against the padded
 primitive arrays (P, 2) and reduces — pure VPU work, no data-dependent
 control flow.
 """
+import jax
 import jax.numpy as jnp
 
 from . import analytic2d
@@ -32,6 +33,13 @@ def _dispatch(name):
 OFFSET_EPS = 3e-5  # stand-in for fcpw's ~256-ULP offsetPointAlongDirection
 
 
+def _onehot_argmin(v):
+    """(..., P) -> f32 one-hot of the per-lane argmin. Lets winner data
+    be selected with a masked reduce instead of a serialized gather."""
+    return (jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+            == jnp.argmin(v, axis=-1)[..., None]).astype(jnp.float32)
+
+
 @_dispatch("closest_point")
 def closest_point(soup: Seg2D, x):
     """Closest boundary point. Returns (dist, signed_dist, point, normal).
@@ -46,10 +54,13 @@ def closest_point(soup: Seg2D, x):
     t = jnp.clip(jnp.sum(xa * ab, -1) / denom, 0.0, 1.0)
     p = a + t[..., None] * ab                   # (..., P, 2)
     d2 = jnp.sum((x[..., None, :] - p) ** 2, -1)
-    i = jnp.argmin(d2, axis=-1)
-    dist = jnp.sqrt(jnp.take_along_axis(d2, i[..., None], -1)[..., 0])
-    pt = jnp.take_along_axis(p, i[..., None, None], -2)[..., 0, :]
-    nrm = soup.n[i]
+    # min + one-hot selects, not argmin + take_along_axis/row-gathers:
+    # per-lane gathers serialize on TPU (profiled at ~7 ms per 524k-lane
+    # call inside the walk loop); a (..., P) mask reduce is pure VPU
+    oh = _onehot_argmin(d2)
+    dist = jnp.sqrt(jnp.min(d2, axis=-1))
+    pt = jnp.sum(oh[..., None] * p, axis=-2)
+    nrm = jnp.sum(oh[..., None] * soup.n, axis=-2)
     sign = jnp.where(jnp.sum((x - pt) * nrm, -1) < 0.0, -1.0, 1.0)
     return dist, sign * dist, pt, nrm
 
@@ -87,12 +98,11 @@ def ray_intersect(soup: Seg2D, o, d, t_max):
     ok = ((jnp.abs(dxab) >= 1e-12) & (s >= 0.0) & (s <= 1.0)
           & (t > 0.0) & (t <= t_max[..., None]))
     t = jnp.where(ok, t, jnp.inf)
-    i = jnp.argmin(t, axis=-1)
-    t_hit = jnp.take_along_axis(t, i[..., None], -1)[..., 0]
+    t_hit = jnp.min(t, axis=-1)        # gather-free select (see above)
+    nrm = jnp.sum(_onehot_argmin(t)[..., None] * soup.n, axis=-2)
     hit = jnp.isfinite(t_hit)
     t_hit = jnp.where(hit, t_hit, t_max)
     pt = o + t_hit[..., None] * d
-    nrm = soup.n[i]
     return hit, t_hit, pt, nrm
 
 

@@ -4,11 +4,18 @@
 zombie3d's fcpw_scene_loader.h). Closest-point uses the standard
 region-classified point-triangle projection; rays use Moller-Trumbore.
 """
+import jax
 import jax.numpy as jnp
 
 from . import analytic3d
 from .analytic3d import Box3D
 from .soup3d import Tri3D, FAR
+
+
+def _onehot_argmin(v):
+    """(..., P) -> f32 one-hot of the per-lane argmin (see queries2d)."""
+    return (jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+            == jnp.argmin(v, axis=-1)[..., None]).astype(jnp.float32)
 
 
 def _dispatch(name):
@@ -76,10 +83,12 @@ def closest_point(soup: Tri3D, x):
     """Returns (dist, signed_dist, point, normal); negative sign = inside."""
     p = _closest_on_tri(x[..., None, :], soup.va, soup.vb, soup.vc)
     d2 = jnp.sum((x[..., None, :] - p) ** 2, -1)
-    i = jnp.argmin(d2, axis=-1)
-    dist = jnp.sqrt(jnp.take_along_axis(d2, i[..., None], -1)[..., 0])
-    pt = jnp.take_along_axis(p, i[..., None, None], -2)[..., 0, :]
-    nrm = soup.n[i]
+    # min + one-hot masked reduces, not argmin + take_along_axis/row-
+    # gathers: per-lane gathers serialize on TPU (see queries2d)
+    oh = _onehot_argmin(d2)
+    dist = jnp.sqrt(jnp.min(d2, axis=-1))
+    pt = jnp.sum(oh[..., None] * p, axis=-2)
+    nrm = jnp.sum(oh[..., None] * soup.n, axis=-2)
     sign = jnp.where(jnp.sum((x - pt) * nrm, -1) < 0.0, -1.0, 1.0)
     return dist, sign * dist, pt, nrm
 
@@ -115,12 +124,11 @@ def ray_intersect(soup: Tri3D, o, d, t_max):
     ok = ((jnp.abs(det) >= 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
           & (t > 0.0) & (t <= t_max[..., None]))
     t = jnp.where(ok, t, jnp.inf)
-    i = jnp.argmin(t, axis=-1)
-    t_hit = jnp.take_along_axis(t, i[..., None], -1)[..., 0]
+    t_hit = jnp.min(t, axis=-1)        # gather-free select (see above)
+    nrm = jnp.sum(_onehot_argmin(t)[..., None] * soup.n, axis=-2)
     hit = jnp.isfinite(t_hit)
     t_hit = jnp.where(hit, t_hit, t_max)
     pt = o + t_hit[..., None] * d
-    nrm = soup.n[i]
     return hit, t_hit, pt, nrm
 
 
