@@ -97,10 +97,13 @@ class WalkSettings:
     pool_slots: int = 0            # 0 -> auto: min(8 * n_points, 2**20)
     # walk steps between scatter/refill. The refill is an S-wide
     # _start_states + scatter, comparable in cost to an advance step;
-    # K=2 halves that overhead for at most one idle step per finished
-    # walk. Measured on the karman 65k chunk: K=1 21.5s, K=2 14.6s,
-    # K=4 14.7s, K=8 17.5s (idle lanes win) -> 2.
-    pool_refill_every: int = 2
+    # K>1 amortizes that overhead for at most K-1 idle steps per
+    # finished walk. Measured on the karman 65k chunk: K=1 21.5s,
+    # K=2 14.6s, K=4 14.7s, K=8 17.5s (idle lanes win) -> 2; after the
+    # gather-free geometry/radial rework shrank the advance step, the
+    # refill share grew and K=3 became the optimum (K=2 6.45s, K=3
+    # 6.04s, K=4 6.08s).
+    pool_refill_every: int = 3
     # per-walk step cap in pool mode. Walks that exceed it are DROPPED
     # from the statistics (DROP_MAXLEN, matching which completion codes
     # update estimates, walk_on_stars.h:447-459) — at 1024 the surviving
