@@ -57,6 +57,10 @@ def build_parser():
                    choices=["constant", "cosine"])
     p.add_argument("--param_ema", type=float, default=0.0,
                    help="Polyak parameter averaging per phase (0 = off)")
+    p.add_argument("--fit_unroll", type=int, default=4,
+                   help="Adam iterations per while-loop trip in the phase "
+                        "fits (results identical for any value; >1 "
+                        "amortizes fixed per-op loop cost on TPU)")
     p.add_argument("--projection", default="wost",
                    choices=["wost", "spectral"],
                    help="MC walk-on-stars (reference) or deterministic "
@@ -143,6 +147,7 @@ def make_fluid(args):
                        lr_schedule=args.lr_schedule,
                        param_ema=args.param_ema,
                        grad_clip=args.grad_clip,
+                       fit_unroll=args.fit_unroll,
                        mesh=mesh)
 
 

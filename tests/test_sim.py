@@ -168,3 +168,41 @@ def test_src_duration_resourcing_keyed_on_absolute_timestep(tmp_path,
     calls.clear()
     run_mod.main(args + ["--ckpt", "3"])   # resume past the window
     assert calls == []                      # no re-sourcing on resume
+
+
+def test_fit_unroll_is_exact():
+    """fit_unroll > 1 must reproduce the U=1 fit bit-exactly: both the
+    iteration-cap edge (cap not a multiple of U) and the early-stop edge
+    are guarded per sub-iteration, so only wall-clock changes."""
+    from nmcfluid.sim.fluid import _fit_source
+
+    def run(unroll, max_n_iters=37, early_stop=1.1e-10):
+        scene = get_scene("taylorgreen")
+        scene = dataclasses.replace(
+            scene, max_n_iters=max_n_iters, early_stop_loss=early_stop,
+            _boundary_builder=scene._boundary_builder,
+            _source_builder=scene._source_builder,
+            _obstacle_sdf_builder=scene._obstacle_sdf_builder)
+        fl = NeuralFluid(scene, sample_resolution=8, wost_resolution=8,
+                         div_resolution=16, fit_unroll=unroll,
+                         walk_settings=WalkSettings(n_walks=8,
+                                                    walk_step_cap=8))
+        st = fl.init_state(0)
+        params, stats = _fit_source(fl, st.params, jax.random.PRNGKey(3),
+                                    st.eps, st.timestep)
+        return params, int(stats.iters), float(stats.loss)
+
+    # cap edge: 37 iters with U=3 (trips overshoot the cap by 2 sub-iters)
+    p1, i1, l1 = run(1)
+    p3, i3, l3 = run(3)
+    assert i1 == i3 == 37 and l1 == l3
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # early-stop edge: a loose tolerance stops mid-run at the same iter
+    # (the tiny fit reaches ~0.25 by iter 37, so 0.3 fires in between)
+    p1, i1, l1 = run(1, early_stop=0.3)
+    p4, i4, l4 = run(4, early_stop=0.3)
+    assert i1 == i4 and 0 < i1 < 37 and l1 == l4
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
