@@ -56,14 +56,22 @@ class SegmentedAdam:
     (base/baseModel.py:55-62,132-134: factor 0.1, patience 500,
     min_lr 1e-8, early stop once lr <= 1.1e-8; torch 'rel' improvement
     threshold 1e-4). Deviation: the plateau monitors the SUMMED loss,
-    not the 'main' term alone — the auxiliary terms are small."""
+    not the 'main' term alone — the auxiliary terms are small.
 
-    def __init__(self, loss_fn, lr, tol=1.1e-10, plateau=False):
+    With exp_gamma set, the lr instead decays multiplicatively every
+    step — torch ExponentialLR, the schedule the pinnFluid and
+    piDeepONet trainers actually ship (both model.py:68:
+    gamma = 0.95 ** 0.0001, i.e. lr x0.774 over a 50k run; their
+    ReduceLROnPlateau lines are commented out)."""
+
+    def __init__(self, loss_fn, lr, tol=1.1e-10, plateau=False,
+                 exp_gamma=None):
         self.loss_fn = loss_fn   # loss_fn(params, key_i, *ctx) -> scalar
         self.lr0 = float(lr)
         self.opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
         self.tol = tol
         self.plateau = plateau
+        self.exp_gamma = None if exp_gamma is None else float(exp_gamma)
 
     @partial(jax.jit, static_argnums=(0,))
     def _segment(self, params, opt_state, key, i0, hi, loss, lr, best,
@@ -88,6 +96,10 @@ class SegmentedAdam:
                 drop = stall > 500
                 lr = jnp.where(drop, jnp.maximum(lr * 0.1, 1e-8), lr)
                 stall = jnp.where(drop, 0, stall)
+            if self.exp_gamma is not None:
+                # scheduler.step() runs after optimizer.step(): step i
+                # uses lr0 * gamma^i, first step at lr0
+                lr = lr * self.exp_gamma
             return (i + 1, optax.apply_updates(p, up), s, l, lr, best,
                     stall)
 
@@ -114,10 +126,12 @@ class SegmentedAdam:
         return params, i, loss
 
 
-def adam_fit(params, key, loss_fn, lr, max_iters, tol=1.1e-10):
+def adam_fit(params, key, loss_fn, lr, max_iters, tol=1.1e-10,
+             exp_gamma=None):
     """One-shot convenience over SegmentedAdam (compiles per call —
     fine for single-fit users like the PINN/DeepONet trainers)."""
-    return SegmentedAdam(loss_fn, lr, tol).fit(params, key, max_iters)
+    return SegmentedAdam(loss_fn, lr, tol,
+                         exp_gamma=exp_gamma).fit(params, key, max_iters)
 
 
 def ref_pipeline_error(vel_np, method):

@@ -79,5 +79,9 @@ class PINNFluid:
             lm = jnp.mean(resid ** 2)
             ld = jnp.mean(div ** 2)
             return li + lb + lm + ld
-        st, i, l = adam_fit(state, key, loss_fn, self.lr, self.max_n_iters)
+        # ExponentialLR parity: both reference trainers decay lr x0.95^1e-4
+        # per step (model.py:68); their plateau lines are commented out
+        st, i, l = adam_fit(state, key, loss_fn, self.lr,
+                            self.max_n_iters,
+                            exp_gamma=0.95 ** 1e-4)
         return st, i, l
