@@ -49,7 +49,9 @@ def main():
         max_n_iters=int(iters) if iters else scene.max_n_iters,
         sample_resolution=max(8, scene.sample_resolution // scale),
         wost_resolution=max(8, scene.wost_resolution // scale),
-        div_resolution=max(32, 1000 // scale),
+        # None -> dim-correct default (1000^2 in 2D, vis_resolution^3 in 3D)
+        div_resolution=None if scale == 1 else max(
+            32, (1000 if scene.dim == 2 else scene.vis_resolution) // scale),
         walk_settings=scene.walk_settings(
             n_walks=max(8, scene.n_walks // scale)))
 
@@ -86,7 +88,7 @@ def main():
     vs = (baseline / sec) if baseline else 1.0
 
     print(json.dumps({
-        "metric": f"{scene_name}2d_sec_per_frame",
+        "metric": f"{scene_name}{scene.dim}d_sec_per_frame",
         "value": round(sec, 3),
         "unit": "s",
         "vs_baseline": round(vs, 3),
