@@ -1,0 +1,52 @@
+"""Volume-render compositing math (tools_render_density3d.composite)."""
+import numpy as np
+
+from nmcfluid.tools_render_density3d import composite
+
+
+def test_zero_density_returns_background():
+    rho = np.zeros((8, 8, 8), np.float32)
+    col = np.ones(rho.shape + (3,), np.float32)
+    img = composite(rho, col, axis=1, bg=1.0)
+    np.testing.assert_allclose(img, 1.0, atol=1e-6)
+    img0 = composite(rho, col, axis=1, bg=0.25)
+    np.testing.assert_allclose(img0, 0.25, atol=1e-6)
+
+
+def test_uniform_slab_matches_beer_lambert():
+    # homogeneous medium: weights sum to 1 - T_total with
+    # T_total = prod(1 - alpha) -> exp(-absorb * rho) as slabs -> inf
+    n, absorb, rho0 = 64, 60.0, 0.02
+    rho = np.full((n, n, n), rho0, np.float32)
+    col = np.ones(rho.shape + (3,), np.float32) * 0.5
+    img = composite(rho, col, axis=0, absorb=absorb, bg=1.0)
+    alpha = 1.0 - np.exp(-absorb * rho0 / n)
+    t_total = (1.0 - alpha) ** n
+    expect = 0.5 * (1.0 - t_total) + 1.0 * t_total
+    np.testing.assert_allclose(img, expect, rtol=1e-5)
+
+
+def test_front_slab_occludes_back():
+    # an opaque red slab in front of an opaque blue slab, integrating
+    # along axis 0 front-to-back: red wins
+    rho = np.zeros((4, 2, 2), np.float32)
+    rho[0] = 1e6      # front (first slab) fully opaque
+    rho[2] = 1e6      # behind it
+    col = np.zeros(rho.shape + (3,), np.float32)
+    col[0, ..., 0] = 1.0   # red front
+    col[2, ..., 2] = 1.0   # blue back
+    img = composite(rho, col, axis=0, absorb=60.0, bg=0.0)
+    np.testing.assert_allclose(img[..., 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(img[..., 2], 0.0, atol=1e-5)
+
+
+def test_view_axis_selects_projection():
+    # a density line along x collapses to a point for the x-view and to a
+    # line for the y-view
+    rho = np.zeros((8, 8, 8), np.float32)
+    rho[:, 3, 4] = 10.0
+    col = np.ones(rho.shape + (3,), np.float32)
+    img_x = composite(rho, col, axis=0, bg=0.0)   # (y, z) image
+    img_y = composite(rho, col, axis=1, bg=0.0)   # (x, z) image
+    assert (img_x.sum(axis=-1) > 0.1).sum() == 1          # single pixel
+    assert (img_y.sum(axis=-1) > 0.1).sum() == 8          # full line
