@@ -196,6 +196,18 @@ def dump_pressure_debug(fluid, dirs, t):
     vis.draw_scalar_field2d(div, os.path.join(pdir, f"div_t{t:03d}.png"))
 
 
+def load_energy(exp_dir, ckpt):
+    """Preload the kinetic-energy curve on --ckpt resume so the per-step
+    overwrite of energy.txt (3d/main.py:168-179 semantics) keeps the
+    pre-resume rows. Row k holds the energy after step k+1, so a resume
+    from checkpoint N keeps at most the first N rows."""
+    path = os.path.join(exp_dir, "energy.txt")
+    if ckpt <= 0 or not os.path.exists(path):
+        return []
+    rows = np.loadtxt(path, ndmin=1)
+    return [float(e) for e in rows[:ckpt]]
+
+
 def assemble_gifs(exp_dir, dirs):
     """Per-run gif assembly (2d/vis_utils.py:103-106)."""
     from .utils import vis
@@ -318,7 +330,7 @@ def main(argv=None):
         state = state._replace(eps=state.eps / 2)
 
     fluid.profile = bool(args.stage_times)
-    energy = []
+    energy = load_energy(exp_dir, args.ckpt)
     for it in range(n_steps):
         t0 = time.time()
         # re-fit the source while the ABSOLUTE frame counter t is in

@@ -206,3 +206,20 @@ def test_fit_unroll_is_exact():
     assert i1 == i4 and 0 < i1 < 37 and l1 == l4
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_energy_keeps_pre_resume_rows(tmp_path):
+    """--ckpt resume must preload energy.txt so the per-step overwrite
+    doesn't drop the pre-resume rows (regression: a vortex_collide resume
+    from t69 restarted the curve at t70)."""
+    from nmcfluid import run as run_mod
+    path = tmp_path / "energy.txt"
+    np.savetxt(path, [1.0, 2.0, 3.0, 4.0])
+    # fresh run: nothing to preload
+    assert run_mod.load_energy(str(tmp_path), 0) == []
+    # resume from t3: keep rows for steps 1..3 only
+    assert run_mod.load_energy(str(tmp_path), 3) == [1.0, 2.0, 3.0]
+    # resume past the file length: keep what exists
+    assert run_mod.load_energy(str(tmp_path), 10) == [1.0, 2.0, 3.0, 4.0]
+    # no file yet
+    assert run_mod.load_energy(str(tmp_path / "nope"), 3) == []
