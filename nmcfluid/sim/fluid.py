@@ -503,7 +503,11 @@ def _pressure_solve_spectral(fluid, div_grid, key, eps, t):
     """Deterministic projection: DCT screened-Poisson solve of the same
     divergence grid (sim.spectral), sampled at the same kind of random
     pressure cloud with the same boundary masking — a zero-variance
-    drop-in for the MC stage (exact Neumann solve on box scenes)."""
+    drop-in for the MC stage (exact Neumann solve on box scenes). On
+    circle-obstacle scenes (karman) a Bessel-K modal correction
+    (ops/circle_modes.py) cancels the obstacle Neumann residual, making
+    this the deterministic fast path for the scene family the reference
+    can only handle through the MC walk."""
     from .spectral import grid_gradient, solve_screened_poisson
     scene = fluid.scene
     pts, valid = sampling.fluid_points(key, fluid.n_pressure, scene)
@@ -511,9 +515,22 @@ def _pressure_solve_spectral(fluid, div_grid, key, eps, t):
                                     scene.absorption)
     g_grid = grid_gradient(p_grid, scene.scene_size)
     ss = scene.scene_size
-    p = sampling.nearest_lookup(p_grid, ss, pts)
-    grad_p = jnp.stack([sampling.nearest_lookup(g_grid[..., i], ss, pts)
+    p = sampling.bilinear_lookup(p_grid, ss, pts)
+    grad_p = jnp.stack([sampling.bilinear_lookup(g_grid[..., i], ss, pts)
                         for i in range(scene.dim)], axis=-1)
+    if (scene.dim == 2 and scene.obstacle_center is not None
+            and scene.obstacle_radius is not None
+            and scene.absorption > 0.0):
+        from ..ops.circle_modes import (eval_circle_correction,
+                                        fit_circle_correction)
+        coeffs = fit_circle_correction(
+            g_grid, ss, scene.obstacle_center, scene.obstacle_radius,
+            scene.absorption)
+        q, grad_q = eval_circle_correction(
+            coeffs, pts, scene.obstacle_center, scene.obstacle_radius,
+            scene.absorption)
+        p = p + q
+        grad_p = grad_p + grad_q
     dist = fluid.q.distance(scene.boundary, pts)
     signed = fluid.q.signed_distance(scene.boundary, pts)
     mask_near = jnp.abs(dist) < scene.boundary_distance_mask

@@ -101,6 +101,33 @@ def fluid_points(key, n, scene, rounds: int = 8):
     return pts, valid
 
 
+def bilinear_lookup(grid, scene_size, y):
+    """Multilinear gather into a cell-centered grid over the scene box
+    (same layout as nearest_lookup; clamped at the walls). Used where the
+    deterministic projection needs sub-cell accuracy — the reference has
+    no equivalent (its grid lookups are all nearest-texel)."""
+    dim = y.shape[-1]
+    res = grid.shape
+    i0s, ws = [], []
+    for i in range(dim):
+        lo, hi = scene_size[2 * i], scene_size[2 * i + 1]
+        u = (y[..., i] - lo) / (hi - lo) * res[i] - 0.5
+        i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, res[i] - 2)
+        i0s.append(i0)
+        ws.append(jnp.clip(u - i0.astype(u.dtype), 0.0, 1.0))
+    flat_grid = grid.reshape(-1)
+    out = jnp.zeros(y.shape[:-1], grid.dtype)
+    for corner in range(1 << dim):
+        flat = jnp.zeros(y.shape[:-1], jnp.int32)
+        w = jnp.ones(y.shape[:-1], grid.dtype)
+        for i in range(dim):
+            hi_bit = (corner >> i) & 1
+            flat = flat * res[i] + i0s[i] + hi_bit
+            w = w * (ws[i] if hi_bit else 1.0 - ws[i])
+        out = out + w * jnp.take(flat_grid, flat)
+    return out
+
+
 def nearest_lookup(grid, scene_size, y):
     """Nearest-cell gather into a cell-centered grid over the scene box.
 
