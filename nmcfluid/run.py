@@ -64,7 +64,9 @@ def build_parser():
     p.add_argument("--projection", default="wost",
                    choices=["wost", "spectral"],
                    help="MC walk-on-stars (reference) or deterministic "
-                        "DCT grid solve (fast, exact on box scenes)")
+                        "DCT grid solve + Bessel-K modal obstacle "
+                        "correction (fast, exact on box and "
+                        "circle-obstacle scenes; unsupported on jpipe)")
     # scene-hyperparameter overrides (config.py:87-156 argparse surface)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--dt", type=float, default=None)

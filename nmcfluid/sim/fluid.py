@@ -99,6 +99,13 @@ class NeuralFluid:
         self.scene = scene
         self.adv_ref = adv_ref
         self.projection = projection
+        if (projection == "spectral" and scene.dim == 2
+                and scene.has_obstacle and scene.obstacle_center is None):
+            # the deterministic path needs the fluid domain to be the box
+            # minus (at most) a circle; jpipe's domain is the pipe interior
+            raise ValueError(
+                f"--projection spectral is unsupported on '{scene.name}': "
+                "its obstacle is not a circle (use the wost projection)")
         self.lr_schedule = lr_schedule
         self.param_ema = param_ema
         self.grad_clip = grad_clip

@@ -98,3 +98,12 @@ def test_spectral_with_correction_matches_wost_on_obstacle_scene():
     err_box = np.abs(p_box - np.asarray(p_mc)).max()
     assert err_fix < 0.05
     assert err_fix < 0.5 * err_box     # the correction moves toward MC
+
+
+def test_spectral_projection_rejected_on_noncircle_obstacle():
+    import pytest
+    from nmcfluid.scenes import get_scene
+    from nmcfluid.sim import NeuralFluid
+    with pytest.raises(ValueError, match="spectral"):
+        NeuralFluid(get_scene("jpipe"), max_n_iters=1,
+                    projection="spectral")
