@@ -518,6 +518,7 @@ def _pressure_solve_spectral(fluid, div_grid, key, eps, t):
     from .spectral import grid_gradient, solve_screened_poisson
     scene = fluid.scene
     pts, valid = sampling.fluid_points(key, fluid.n_pressure, scene)
+    pts = fluid.shard_pts(pts)
     p_grid = solve_screened_poisson(div_grid, scene.scene_size,
                                     scene.absorption)
     g_grid = grid_gradient(p_grid, scene.scene_size)
