@@ -1,0 +1,117 @@
+"""Quantitative vortex-street comparison between two karman runs.
+
+`python -m nmcfluid.tools_compare_street EXP_A EXP_B [--scene karman]`
+
+The reference validates karman qualitatively (vorticity plots,
+examples/karman/plot_scalar.py); chaotic trajectories make frame-wise
+field comparison meaningless after street onset, so this compares the
+physics instead: probe-point vorticity time series behind the cylinder,
+street onset time (first sustained asymmetry), and the dominant shedding
+frequency as a Strouhal number St = f D / U.
+"""
+import argparse
+import json
+import os
+
+import numpy as np
+
+from .scenes import get_scene
+from .sim import NeuralFluid
+from .ops.diff_ops import curl2d
+from .utils import load_ckpt, latest_step
+
+
+def probe_series(exp_dir, scene, probes, t_max=None):
+    """Vorticity at probe points for every checkpoint -> (T, P) array."""
+    import jax.numpy as jnp
+    fluid = NeuralFluid(scene, max_n_iters=1)
+    model_dir = os.path.join(exp_dir, "model")
+    last = latest_step(model_dir)
+    if last < 0:
+        raise SystemExit(f"no checkpoints under {model_dir}")
+    if t_max is not None:
+        last = min(last, t_max)
+    st = fluid.init_state(0)
+    pts = jnp.asarray(probes, jnp.float32)
+    out = []
+    for t in range(1, last + 1):
+        params, _ = load_ckpt(model_dir, st.params, t)
+        w = curl2d(lambda x: fluid.velocity(params, x, eps=st.eps, t=t),
+                   pts)
+        out.append(np.asarray(w))
+    return np.stack(out)
+
+
+def street_metrics(series, dt, diameter, u_inflow, onset_rel=0.2):
+    """Onset frame + dominant shedding frequency of a probe series.
+
+    Onset = first frame from which |w| stays above onset_rel * max |w|
+    for at least 10 frames (sustained asymmetry, not a transient). The
+    frequency is the FFT peak of the tail from onset; St = f D / U."""
+    w = series - series.mean()
+    amp = np.abs(w)
+    # amplitude envelope (rolling max over ~a shedding period) so the
+    # oscillation's own zero crossings don't break the sustained test
+    win = 12
+    env = np.array([amp[t:t + win].max() for t in range(len(amp))])
+    thresh = onset_rel * env.max()
+    onset = None
+    above = env > thresh
+    for t in range(len(w) - 10):
+        if above[t:t + 10].all():
+            onset = t
+            break
+    if onset is None or len(w) - onset < 16:
+        return {"onset_frame": onset, "freq_hz": None, "strouhal": None}
+    tail = w[onset:]
+    tail = tail - tail.mean()
+    spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+    freqs = np.fft.rfftfreq(len(tail), d=dt)
+    k = 1 + int(np.argmax(spec[1:]))          # skip DC
+    return {"onset_frame": onset,
+            "freq_hz": float(freqs[k]),
+            "strouhal": float(freqs[k] * diameter / u_inflow)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("exp_a")
+    p.add_argument("exp_b")
+    p.add_argument("--scene", default="karman")
+    p.add_argument("--t_max", type=int, default=None)
+    p.add_argument("--out", default=None, help="optional png path")
+    args = p.parse_args(argv)
+
+    scene = get_scene(args.scene)
+    cx, cy = scene.obstacle_center
+    r = scene.obstacle_radius
+    # probe 6 radii downstream of the cylinder, on the wake centerline
+    probes = [(cx + 6.0 * r, cy)]
+    d, u = 2.0 * r, scene.karman_vel
+
+    results = {}
+    for name, exp in (("a", args.exp_a), ("b", args.exp_b)):
+        s = probe_series(exp, scene, probes, args.t_max)[:, 0]
+        m = street_metrics(s, scene.dt, d, u)
+        m["exp"] = exp
+        results[name] = (s, m)
+        print(json.dumps(m))
+
+    if args.out:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(8, 3))
+        for name, (s, m) in results.items():
+            ax.plot(np.arange(1, len(s) + 1) * scene.dt, s,
+                    label=f"{m['exp']} (St={m['strouhal']})")
+        ax.set_xlabel("t")
+        ax.set_ylabel("vorticity at probe")
+        ax.legend(fontsize=7)
+        fig.tight_layout()
+        fig.savefig(args.out, dpi=150)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
