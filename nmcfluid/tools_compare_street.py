@@ -42,28 +42,42 @@ def probe_series(exp_dir, scene, probes, t_max=None):
     return np.stack(out)
 
 
-def street_metrics(series, dt, diameter, u_inflow, onset_rel=0.2):
+def street_metrics(series, dt, diameter, u_inflow, onset_rel=0.35):
     """Onset frame + dominant shedding frequency of a probe series.
 
-    Onset = first frame from which |w| stays above onset_rel * max |w|
-    for at least 10 frames (sustained asymmetry, not a transient). The
-    frequency is the FFT peak of the tail from onset; St = f D / U."""
-    w = series - series.mean()
-    amp = np.abs(w)
-    # amplitude envelope (rolling max over ~a shedding period) so the
-    # oscillation's own zero crossings don't break the sustained test
-    win = 12
-    env = np.array([amp[t:t + win].max() for t in range(len(amp))])
-    thresh = onset_rel * env.max()
+    The raw probe signal carries a startup transient (the initial shear
+    layer convecting past the probe) and a quasi-steady wake offset;
+    neither is shedding. So the signal is first detrended with a rolling
+    mean (~2 shedding periods wide), and onset is defined on the rolling
+    std of the detrended signal: the first frame from which that local
+    oscillation amplitude stays above onset_rel * its developed (last
+    third) level for at least 10 frames. The shedding frequency is the
+    FFT peak of the detrended tail from onset; St = f D / U."""
+    w = np.asarray(series, np.float64)
+    n = len(w)
+    trend_win = 24                 # ~2 shedding periods at St~0.2 scales
+    k = np.ones(trend_win) / trend_win
+    pad = trend_win // 2
+    trend = np.convolve(np.pad(w, pad, mode="edge"), k, mode="same")[
+        pad:pad + n]
+    hp = w - trend
+    osc_win = 12
+    amp = np.array([hp[t:t + osc_win].std() for t in range(n)])
+    developed = amp[2 * n // 3:].mean()
+    thresh = onset_rel * developed
     onset = None
-    above = env > thresh
-    for t in range(len(w) - 10):
+    above = amp > thresh
+    for t in range(n - 10):
         if above[t:t + 10].all():
             onset = t
             break
-    if onset is None or len(w) - onset < 16:
+    # reject "onset" when there is no developed oscillation at all
+    # (quiet run: the tail level is numerical noise)
+    if developed < 1e-4 * max(np.abs(w).max(), 1e-12):
+        onset = None
+    if onset is None or n - onset < 16:
         return {"onset_frame": onset, "freq_hz": None, "strouhal": None}
-    tail = w[onset:]
+    tail = hp[onset:]
     tail = tail - tail.mean()
     spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
     freqs = np.fft.rfftfreq(len(tail), d=dt)

@@ -18,6 +18,27 @@ def test_metrics_on_synthetic_shedding_signal():
     assert abs(m["strouhal"] - f0 * d / u) < 0.03
 
 
+def test_metrics_ignore_startup_transient_and_wake_offset():
+    """Shape of the real karman probe series (results_karman): a large
+    one-off startup bump as the initial shear layer convects past the
+    probe, a quasi-steady nonzero wake offset, then shedding from late
+    in the run. The onset detector must latch on the oscillation, not
+    the transient (it reported frame 13 for a street that starts ~115
+    before the detrending fix)."""
+    dt, d, u = 0.05, 0.089, 0.5
+    t = np.arange(200) * dt
+    f0 = 1.0
+    bump = -5.0 * np.exp(-0.5 * ((t - 1.5) / 0.3) ** 2)   # startup, t~1.5
+    offset = 1.7 / (1.0 + np.exp(-(t - 2.5)))             # steady wake
+    env = np.clip((t - 5.8) / 0.8, 0.0, 1.0) * 8.0        # street from t~5.8
+    w = bump + offset + env * np.sin(2 * np.pi * f0 * t)
+    m = street_metrics(w, dt, d, u)
+    assert m["onset_frame"] is not None
+    assert abs(m["onset_frame"] * dt - 5.8) < 1.0
+    assert abs(m["freq_hz"] - f0) < 0.15
+    assert abs(m["strouhal"] - f0 * d / u) < 0.03
+
+
 def test_metrics_on_quiet_signal():
     rng = np.random.default_rng(0)
     w = 1e-6 * rng.normal(size=100)
