@@ -293,6 +293,28 @@ def run_density(fluid, args, exp_dir, model_dir):
         print("Mean Error:", float(np.mean(errors)))
 
 
+def _code_revision():
+    """Git commit of the running code (+ dirty marker), or None outside a
+    checkout — stamped into config.json so every experiment records the
+    exact revision that produced it."""
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        rev = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10)
+        if rev.returncode != 0:
+            return None
+        dirty = subprocess.run(
+            ["git", "-C", root, "status", "--porcelain",
+             "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10)
+        mark = "-dirty" if dirty.stdout.strip() else ""
+        return rev.stdout.strip() + mark
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     scene = scene_with_overrides(args)
@@ -303,8 +325,13 @@ def main(argv=None):
             for k in ("velocity", "vorticity", "txt", "pressure")}
     for d in [exp_dir, model_dir] + list(dirs.values()):
         os.makedirs(d, exist_ok=True)
+    # the reference snapshots the full source tree per experiment for
+    # reproducibility (config.py:49-56); the equivalent here is pinning
+    # the exact code revision alongside the flags
+    cfg = dict(vars(args))
+    cfg["code_revision"] = _code_revision()
     with open(os.path.join(exp_dir, "config.json"), "w") as f:
-        json.dump({k: v for k, v in vars(args).items()}, f, indent=2)
+        json.dump(cfg, f, indent=2)
 
     fluid = make_fluid(args)
     n_steps = args.n_timesteps or scene.n_timesteps
