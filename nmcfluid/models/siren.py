@@ -25,11 +25,22 @@ Design notes (TPU):
 """
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# f32 emulation depth for the network matmuls. HIGHEST (6-pass bf16) is
+# the accuracy-validated default; NMCFLUID_MATMUL_PRECISION=high selects
+# the 3-pass variant (~22-bit mantissa coverage) for perf probing — do
+# not ship it as default without re-checking the TG error curve.
+_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("NMCFLUID_MATMUL_PRECISION", "highest").lower()]
 
 Params = List[Tuple[jax.Array, jax.Array]]
 
@@ -92,7 +103,7 @@ def apply_siren(params: Params, cfg: SirenConfig, x):
     """Evaluate the network at x (..., in_features) -> (..., out_features).
 
     The outermost layer is linear (networks.py:53-54, outermost_linear)."""
-    dot = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+    dot = partial(jnp.dot, precision=_PRECISION)
     h = x
     for w, b in params[:-1]:
         h = _nl(cfg.nonlinearity, dot(h, w) + b)
