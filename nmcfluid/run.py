@@ -62,11 +62,14 @@ def build_parser():
                         "fits (results identical for any value; >1 "
                         "amortizes fixed per-op loop cost on TPU)")
     p.add_argument("--projection", default="wost",
-                   choices=["wost", "spectral"],
-                   help="MC walk-on-stars (reference) or deterministic "
-                        "DCT grid solve + Bessel-K modal obstacle "
-                        "correction (fast, exact on box and "
-                        "circle-obstacle scenes; unsupported on jpipe)")
+                   choices=["wost", "spectral", "bem"],
+                   help="MC walk-on-stars (reference), 'spectral' "
+                        "(deterministic DCT grid solve + Bessel-K modal "
+                        "obstacle correction; exact on box and "
+                        "circle-obstacle scenes, unsupported on jpipe), "
+                        "or 'bem' (deterministic FFT volume potential + "
+                        "Nystrom boundary solve; any 2D scene incl. "
+                        "jpipe)")
     # scene-hyperparameter overrides (config.py:87-156 argparse surface)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--dt", type=float, default=None)

@@ -105,7 +105,13 @@ class NeuralFluid:
             # minus (at most) a circle; jpipe's domain is the pipe interior
             raise ValueError(
                 f"--projection spectral is unsupported on '{scene.name}': "
-                "its obstacle is not a circle (use the wost projection)")
+                "its obstacle is not a circle (use the bem or wost "
+                "projection)")
+        if projection == "bem" and scene.dim != 2:
+            raise ValueError(
+                "--projection bem is 2D-only (the 3D scenes' WoSt domain "
+                "is the plain cube, where spectral is already exact)")
+        self._bem = None        # lazy BemProjector (host precompute)
         self.lr_schedule = lr_schedule
         self.param_ema = param_ema
         self.grad_clip = grad_clip
@@ -269,6 +275,13 @@ class NeuralFluid:
         if self.projection == "spectral":
             pts, valid, p, grad_p = _pressure_solve_spectral(
                 self, div_grid, k_wost, state.eps, state.timestep)
+        elif self.projection == "bem":
+            if self._bem is None:
+                from .bem import BemProjector
+                self._bem = BemProjector(self.scene, self.div_resolution)
+            pts, valid, p, grad_p = self._timed(
+                "bem_solve", _pressure_solve_bem, self, self._bem,
+                div_grid, k_wost)
         else:
             chunks = [self._timed(
                 "wost_solve", _pressure_solve, self, div_grid,
@@ -503,6 +516,19 @@ def _mask_pressure(fluid, pts, valid, p, grad_p):
     bad = mask_near | (signed >= 0.0) | ~valid
     grad_p = jnp.where(bad[:, None], 0.0, grad_p)
     return p, grad_p
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _pressure_solve_bem(fluid, bp, div_grid, key):
+    """Deterministic boundary-element projection (sim/bem.py): FFT volume
+    potential + Nystrom-solved boundary density + kernel splats — the
+    zero-variance fast path that works on ANY 2D scene, including
+    jpipe's polygonal duct (unlike the spectral mode). Same pressure
+    cloud and boundary masking as the other modes."""
+    pts, valid = sampling.fluid_points(key, fluid.n_pressure, fluid.scene)
+    pts = fluid.shard_pts(pts)
+    p, grad_p = bp.solve(div_grid, pts)
+    return (pts, valid) + _mask_pressure(fluid, pts, valid, p, grad_p)
 
 
 @partial(jax.jit, static_argnums=(0,))
