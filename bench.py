@@ -78,6 +78,37 @@ def main():
     jax.block_until_ready(state.params)
     stages = {k: round(v, 3) for k, v in fluid.stage_times.items()}
 
+    # --- measured MFU of the phase fits (VERDICT round-1: report a
+    # roofline position, not just wall-clock). Analytic matmul FLOPs:
+    # one network evaluation is sum(2 m n) over layers per point;
+    # value_and_grad ~ 3 evals (fwd + 2x transpose work), target
+    # building adds plain evals (2 for advect's back-trace, 1 for
+    # project's u_prev). Precision.HIGHEST decomposes each f32 matmul
+    # into ~6 bf16 MXU passes, so MXU-side FLOPs are ~6x the math and
+    # utilization is quoted against the bf16 peak.
+    mfu = {}
+    try:
+        stats = fluid._last_stats
+        stats = stats if isinstance(stats, tuple) else (stats,)
+        eval_flops = sum(2 * w.shape[0] * w.shape[1]
+                         for w, _ in state.params) * fluid.n_batch
+        passes = 6   # Precision.HIGHEST bf16 decomposition
+        peak = 197e12 if "TPU v5" in str(jax.devices()[0]) else None
+        names = (["advect_fit", "project_fit"] if len(stats) == 2 else
+                 ["advect_fit", "project_fit", "advect_fit2",
+                  "project_fit2"])
+        for name, st in zip(names, stats):
+            extra = 2 if name.startswith("advect") else 1
+            fl = (3 + extra) * eval_flops * passes * int(st.iters)
+            t = stages.get(name.rstrip("2"), 0.0)
+            if t > 0 and peak:
+                mfu[name] = {"iters": int(st.iters),
+                             "ms_per_iter": round(1e3 * t / int(st.iters), 4),
+                             "mxu_util_vs_bf16_peak":
+                                 round(fl / t / peak, 4)}
+    except Exception:
+        pass
+
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(__file__),
@@ -97,6 +128,7 @@ def main():
     with open("bench_detail.json", "w") as f:
         json.dump({"warm_step_s": warm, "timed_step_s": sec,
                    "stage_breakdown_s": stages,
+                   "fit_mfu": mfu,
                    "scene": scene_name,
                    "scale": scale, "iters_cap": iters,
                    "device": str(jax.devices()[0])}, f, indent=2)
