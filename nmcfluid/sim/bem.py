@@ -317,17 +317,19 @@ class BemProjector:
         Vc_cache = host_bilerp(Vc, pts)
         A_inv = self._load_or_build_A(scene, pts, nrm, w, Vc_cache,
                                       div_resolution, cache_dir)
-        # device-side constants
-        self.KGf = jnp.asarray(KGf, jnp.complex64)
-        self.KXf = jnp.asarray(KXf, jnp.complex64)
-        self.KYf = jnp.asarray(KYf, jnp.complex64)
-        self.chi = jnp.asarray(chi, jnp.float32)
-        self.Vc = jnp.asarray(Vc, jnp.float32)
-        self.gVc = jnp.asarray(np.stack([gVcx, gVcy], axis=-1), jnp.float32)
-        self.cache_pts = jnp.asarray(pts, jnp.float32)
-        self.cache_n = jnp.asarray(nrm, jnp.float32)
-        self.cache_w = jnp.asarray(w, jnp.float32)
-        self.A_inv = jnp.asarray(A_inv, jnp.float32)
+        # device-side constants (downcast on the HOST: the TPU runtime has
+        # no f64/c128 convert_element_type, so numpy does the narrowing)
+        self.KGf = jnp.asarray(KGf.astype(np.complex64))
+        self.KXf = jnp.asarray(KXf.astype(np.complex64))
+        self.KYf = jnp.asarray(KYf.astype(np.complex64))
+        self.chi = jnp.asarray(chi.astype(np.float32))
+        self.Vc = jnp.asarray(Vc.astype(np.float32))
+        self.gVc = jnp.asarray(
+            np.stack([gVcx, gVcy], axis=-1).astype(np.float32))
+        self.cache_pts = jnp.asarray(pts.astype(np.float32))
+        self.cache_n = jnp.asarray(nrm.astype(np.float32))
+        self.cache_w = jnp.asarray(w.astype(np.float32))
+        self.A_inv = jnp.asarray(np.asarray(A_inv, np.float32))
 
     def _load_or_build_A(self, scene, pts, nrm, w, Vc_cache,
                          div_resolution, cache_dir):
