@@ -318,10 +318,17 @@ class BemProjector:
         A_inv = self._load_or_build_A(scene, pts, nrm, w, Vc_cache,
                                       div_resolution, cache_dir)
         # device-side constants (downcast on the HOST: the TPU runtime has
-        # no f64/c128 convert_element_type, so numpy does the narrowing)
-        self.KGf = jnp.asarray(KGf.astype(np.complex64))
-        self.KXf = jnp.asarray(KXf.astype(np.complex64))
-        self.KYf = jnp.asarray(KYf.astype(np.complex64))
+        # no f64/c128 convert_element_type; it also cannot device_put
+        # complex arrays AT ALL — device-side complex from the FFT ops is
+        # fine — so kernel FFTs travel as stacked (real, imag) float32 and
+        # are rebuilt with lax.complex inside the jitted solve)
+        def _ri(K):
+            return jnp.asarray(
+                np.stack([K.real, K.imag]).astype(np.float32))
+
+        self.KGf_ri = _ri(KGf)
+        self.KXf_ri = _ri(KXf)
+        self.KYf_ri = _ri(KYf)
         self.chi = jnp.asarray(chi.astype(np.float32))
         self.Vc = jnp.asarray(Vc.astype(np.float32))
         self.gVc = jnp.asarray(
@@ -373,9 +380,12 @@ def _bem_solve(bp: BemProjector, div_grid, pts):
     Nx, Ny = bp.fft_shape
     f = (div_grid * bp.chi).astype(jnp.float32)
     F = jnp.fft.rfft2(f, s=(Nx, Ny))
-    V = jnp.fft.irfft2(F * bp.KGf, s=(Nx, Ny))[:Rx + 1, :Ry + 1]
-    Gx = jnp.fft.irfft2(F * bp.KXf, s=(Nx, Ny))[:Rx + 1, :Ry + 1]
-    Gy = jnp.fft.irfft2(F * bp.KYf, s=(Nx, Ny))[:Rx + 1, :Ry + 1]
+    KGf = jax.lax.complex(bp.KGf_ri[0], bp.KGf_ri[1])
+    KXf = jax.lax.complex(bp.KXf_ri[0], bp.KXf_ri[1])
+    KYf = jax.lax.complex(bp.KYf_ri[0], bp.KYf_ri[1])
+    V = jnp.fft.irfft2(F * KGf, s=(Nx, Ny))[:Rx + 1, :Ry + 1]
+    Gx = jnp.fft.irfft2(F * KXf, s=(Nx, Ny))[:Rx + 1, :Ry + 1]
+    Gy = jnp.fft.irfft2(F * KYf, s=(Nx, Ny))[:Rx + 1, :Ry + 1]
 
     rhs = _vertex_bilerp(V, ss, bp.cache_pts)
     u_gamma = bp.A_inv @ rhs                                  # (B,)
