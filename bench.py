@@ -42,10 +42,12 @@ def main():
     scale = int(os.environ.get("NMCFLUID_BENCH_SCALE", "1"))
     iters = os.environ.get("NMCFLUID_BENCH_ITERS")
     scene_name = os.environ.get("NMCFLUID_BENCH_SCENE", "taylorgreen")
+    projection = os.environ.get("NMCFLUID_BENCH_PROJECTION", "wost")
 
     scene = get_scene(scene_name)
     fluid = NeuralFluid(
         scene,
+        projection=projection,
         max_n_iters=int(iters) if iters else scene.max_n_iters,
         sample_resolution=max(8, scene.sample_resolution // scale),
         wost_resolution=max(8, scene.wost_resolution // scale),
@@ -129,7 +131,7 @@ def main():
         json.dump({"warm_step_s": warm, "timed_step_s": sec,
                    "stage_breakdown_s": stages,
                    "fit_mfu": mfu,
-                   "scene": scene_name,
+                   "scene": scene_name, "projection": projection,
                    "scale": scale, "iters_cap": iters,
                    "device": str(jax.devices()[0])}, f, indent=2)
 

@@ -117,3 +117,35 @@ def test_sharded_spectral_projection_matches_single_device():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g8), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_sharded_bem_projection_matches_single_device():
+    """The boundary-element projection is also sharding-invariant: FFT
+    grids and the Nystrom inverse are replicated constants; the splat is
+    per-point."""
+    import dataclasses
+    from nmcfluid.parallel import points_mesh
+    from nmcfluid.scenes import get_scene
+    from nmcfluid.sim import NeuralFluid
+    from nmcfluid.sim.bem import BemProjector
+    from nmcfluid.sim.fluid import _divergence_grid, _pressure_solve_bem
+
+    scene = get_scene("karman")
+    scene = dataclasses.replace(scene, max_n_iters=2)
+    kw = dict(sample_resolution=8, wost_resolution=8, div_resolution=64,
+              projection="bem")
+    fl0 = NeuralFluid(scene, **kw)
+    fl8 = NeuralFluid(scene, mesh=points_mesh(), **kw)
+    bp = BemProjector(scene, 64, eval_chunk=16)
+    st = fl0.init_state(0)
+    key = jax.random.PRNGKey(7)
+    div0 = _divergence_grid(fl0, st.params, st.eps, st.timestep)
+    pts0, v0, p0, g0 = _pressure_solve_bem(fl0, bp, div0, key)
+    with fl8.mesh:
+        div8 = _divergence_grid(fl8, st.params, st.eps, st.timestep)
+        pts8, v8, p8, g8 = _pressure_solve_bem(fl8, bp, div8, key)
+    np.testing.assert_allclose(np.asarray(pts0), np.asarray(pts8), atol=0)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p8), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g8), rtol=2e-5,
+                               atol=2e-5)
