@@ -54,7 +54,7 @@ def build_parser():
                         "<=0 off (config.py --grad_clip)")
     p.add_argument("--adv_ref", type=int, default=0)
     p.add_argument("--lr_schedule", default="constant",
-                   choices=["constant", "cosine"])
+                   choices=["constant", "cosine", "tail"])
     p.add_argument("--param_ema", type=float, default=0.0,
                    help="Polyak parameter averaging per phase (0 = off)")
     p.add_argument("--fit_unroll", type=int, default=4,

@@ -78,8 +78,11 @@ class NeuralFluid:
         or 'spectral' (deterministic DCT grid solve on the divergence grid
         — exact for box scenes, a fast mode with zero MC variance).
 
-        lr_schedule: 'constant' (the reference's fixed 1e-5 Adam) or
-        'cosine' (decay to lr/100 across the phase). With constant lr and a
+        lr_schedule: 'constant' (the reference's fixed 1e-5 Adam),
+        'cosine' (decay to lr/100 across the phase), or 'tail' (constant
+        for 80% of the budget, cosine decay over the last 20% — damps the
+        end-of-phase Adam batch-wander without slowing the tracking
+        phase). With constant lr and a
         warm start, Adam's normalized updates keep wandering at a ~lr-sized
         function-space noise floor — phase fits *end worse than they
         start*; the decay lets each phase converge.
@@ -325,6 +328,18 @@ def _adam_fit(fluid, params0, key, batch_fn):
     if fluid.lr_schedule == "cosine":
         lr = optax.cosine_decay_schedule(scene.lr, fluid.max_n_iters,
                                          alpha=0.01)
+    elif fluid.lr_schedule == "tail":
+        # constant lr for 80% of the budget (full-speed tracking of the
+        # target, as the reference's fixed-lr Adam), then cosine-decay the
+        # last 20% to damp the stochastic-batch wander that sets the error
+        # floor once the projection itself is deterministic (bem/spectral)
+        hold = int(fluid.max_n_iters * 0.8)
+        lr = optax.join_schedules(
+            [optax.constant_schedule(scene.lr),
+             optax.cosine_decay_schedule(scene.lr,
+                                         max(1, fluid.max_n_iters - hold),
+                                         alpha=0.02)],
+            boundaries=[hold])
     else:
         lr = scene.lr
     opt = optax.adam(lr)

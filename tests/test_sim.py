@@ -66,6 +66,19 @@ def test_add_source_fits_taylor_green():
     assert err < 5e-2, err
 
 
+def test_add_source_fits_with_tail_schedule():
+    """lr_schedule='tail' (constant then 20% cosine tail) must fit at
+    least as well as constant lr on the same budget."""
+    fl = tiny_fluid(max_n_iters=1500, lr_schedule="tail")
+    st = fl.init_state(0)
+    st = fl.add_source(st)
+    pts = sampling.uniform_grid(fl.scene.scene_size, 24)
+    u = np.asarray(fl.velocity(st.params, pts, eps=st.eps))
+    want = np.asarray(fl.scene.source_velocity(pts))
+    err = np.mean(np.sum((u - want) ** 2, -1))
+    assert err < 5e-2, err
+
+
 def test_step_runs_and_keeps_field_near_tg():
     fl = tiny_fluid(max_n_iters=800)
     st = fl.init_state(0)
