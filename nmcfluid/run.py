@@ -55,6 +55,11 @@ def build_parser():
     p.add_argument("--adv_ref", type=int, default=0)
     p.add_argument("--lr_schedule", default="constant",
                    choices=["constant", "cosine", "tail"])
+    p.add_argument("--fit_plateau", type=int, default=0,
+                   help="stop a phase fit at the end of any N-iter "
+                        "window that improved the smoothed loss by "
+                        "<0.5%% relative (0 = reference behavior: run "
+                        "all max_n_iters)")
     p.add_argument("--param_ema", type=float, default=0.0,
                    help="Polyak parameter averaging per phase (0 = off)")
     p.add_argument("--fit_unroll", type=int, default=4,
@@ -153,6 +158,7 @@ def make_fluid(args):
                        param_ema=args.param_ema,
                        grad_clip=args.grad_clip,
                        fit_unroll=args.fit_unroll,
+                       fit_plateau=args.fit_plateau,
                        mesh=mesh)
 
 

@@ -66,6 +66,28 @@ def test_add_source_fits_taylor_green():
     assert err < 5e-2, err
 
 
+def test_fit_plateau_stops_floored_fit_keeps_converging_fit():
+    """fit_plateau ends a phase only once a whole window stops improving
+    the smoothed loss: an lr too high to converge floors immediately and
+    stops at a window boundary; the default-lr fit, still descending at
+    the same budget, runs to the cap (the reference's early_stop_loss
+    1.1e-10 never fires, base.py:129-152)."""
+    floored = tiny_fluid(max_n_iters=1500, fit_plateau=300)
+    floored.scene = dataclasses.replace(
+        floored.scene, lr=1e-3,
+        _boundary_builder=floored.scene._boundary_builder,
+        _source_builder=floored.scene._source_builder,
+        _obstacle_sdf_builder=floored.scene._obstacle_sdf_builder)
+    floored.add_source(floored.init_state(0))
+    it = int(floored._last_stats.iters)
+    assert it < 1500 and it % 300 == 0, it
+
+    converging = tiny_fluid(max_n_iters=1500, fit_plateau=300)
+    converging.add_source(converging.init_state(0))
+    assert int(converging._last_stats.iters) == 1500, \
+        int(converging._last_stats.iters)
+
+
 def test_add_source_fits_with_tail_schedule():
     """lr_schedule='tail' (constant then 20% cosine tail) must fit at
     least as well as constant lr on the same budget."""
