@@ -392,8 +392,12 @@ def main(argv=None):
             jax.profiler.stop_trace()
             print(f"profiler trace -> {args.profile_dir}")
         t = int(state.timestep)
+        iters = ""
+        if args.fit_plateau > 0 and isinstance(fluid._last_stats, tuple):
+            iters = " iters=" + "/".join(
+                str(int(s.iters)) for s in fluid._last_stats)
         print(f"timestep {t}: {time.time() - t0:.1f}s "
-              f"P={float(state.P):.3e}")
+              f"P={float(state.P):.3e}{iters}")
         if args.stage_times and fluid.stage_times:
             print("  stages: " + "  ".join(
                 f"{k}={v:.1f}s" for k, v in fluid.stage_times.items()))
