@@ -21,7 +21,8 @@ fixes required). vs_baseline = reference_wost_seconds / our_FULL_frame
 frame also runs two <=10k-iter GPU training fits we cannot time here.
 
 Env overrides for quick checks: NMCFLUID_BENCH_SCALE (divides resolutions),
-NMCFLUID_BENCH_ITERS (caps Adam iters), NMCFLUID_BENCH_SCENE.
+NMCFLUID_BENCH_ITERS (caps Adam iters), NMCFLUID_BENCH_SCENE,
+NMCFLUID_BENCH_PROJECTION, NMCFLUID_BENCH_PLATEAU.
 """
 import json
 import os
@@ -48,6 +49,7 @@ def main():
     fluid = NeuralFluid(
         scene,
         projection=projection,
+        fit_plateau=int(os.environ.get("NMCFLUID_BENCH_PLATEAU", "0")),
         max_n_iters=int(iters) if iters else scene.max_n_iters,
         sample_resolution=max(8, scene.sample_resolution // scale),
         wost_resolution=max(8, scene.wost_resolution // scale),
