@@ -31,6 +31,10 @@ import time
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize sets jax_platforms="axon,cpu" at
+        # interpreter start, overriding the env var; re-pin after import
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                      os.path.join(os.path.dirname(__file__),
@@ -104,7 +108,7 @@ def main():
         for name, st in zip(names, stats):
             extra = 2 if name.startswith("advect") else 1
             fl = (3 + extra) * eval_flops * passes * int(st.iters)
-            t = stages.get(name.rstrip("2"), 0.0)
+            t = stages.get(name, 0.0)
             if t > 0 and peak:
                 mfu[name] = {"iters": int(st.iters),
                              "ms_per_iter": round(1e3 * t / int(st.iters), 4),
@@ -138,5 +142,58 @@ def main():
                    "device": str(jax.devices()[0])}, f, indent=2)
 
 
+def _probe_backend(attempts=4, probe_timeout=420):
+    """Bounded retry/backoff around backend init (the r02 failure mode:
+    RuntimeError "Unable to initialize backend 'axon': UNAVAILABLE", or an
+    indefinite hang inside device setup). Each attempt touches the device
+    in a SUBPROCESS so a hang is killable; backoff between attempts."""
+    import subprocess
+    import sys
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import os, jax; "
+                 "os.environ.get('JAX_PLATFORMS') == 'cpu' and "
+                 "jax.config.update('jax_platforms', 'cpu'); "
+                 "d = jax.devices(); "
+                 "import jax.numpy as jnp; "
+                 "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+                 "print('ok', d[0])"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True, r.stdout.strip()
+            last = (r.stderr or r.stdout).strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = f"device probe hung >{probe_timeout}s (attempt {i + 1})"
+        if i < attempts - 1:
+            time.sleep(60 * (i + 1))
+    return False, last
+
+
+def _entry():
+    scene_name = os.environ.get("NMCFLUID_BENCH_SCENE", "taylorgreen")
+    if os.environ.get("NMCFLUID_BENCH_NO_PROBE") != "1":
+        ok, info = _probe_backend()
+        if not ok:
+            # one parseable diagnostic line instead of a traceback
+            print(json.dumps({
+                "metric": f"{scene_name}_sec_per_frame",
+                "value": None, "unit": "s", "vs_baseline": None,
+                "error": f"backend unavailable after retries: {info}",
+            }))
+            raise SystemExit(1)
+    try:
+        main()
+    except Exception as e:    # noqa: BLE001 — contract: one JSON line
+        print(json.dumps({
+            "metric": f"{scene_name}_sec_per_frame",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:400],
+        }))
+        raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    main()
+    _entry()

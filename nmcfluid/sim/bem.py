@@ -291,6 +291,11 @@ class BemProjector:
                 256, 2 ** math.ceil(math.log2(perim / min(hx, hy))))))
         pts, nrm, w = equispaced_boundary(loops, n_boundary)
         self.n_boundary = B = len(pts)
+        # keep the (eval_chunk, B, 2) pairwise intermediates bounded
+        # (~0.5 GB at the 8192x8192 extreme): cap the C*B product so the
+        # chunk tensor stays <= ~64 MB regardless of boundary density
+        self.eval_chunk = max(256, min(self.eval_chunk,
+                                       (1 << 23) // max(B, 1)))
         # host convolutions (float64) of the constant problem f == sigma:
         # V_sigma and grad V_sigma feed the row-sum diagonal and the
         # constant-shift splat correction

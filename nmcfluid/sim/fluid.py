@@ -252,9 +252,9 @@ class NeuralFluid:
         prev = state.params
         tilde = state.params
 
-        def advect(params_init, prev, tilde, dt, flag, k):
+        def advect(params_init, prev, tilde, dt, flag, k, name="advect_fit"):
             return self._timed(
-                "advect_fit", _fit_advect, self, flag, params_init, prev,
+                name, _fit_advect, self, flag, params_init, prev,
                 tilde, jnp.float32(dt), k, state.eps, state.timestep)
 
         if not self.adv_ref:
@@ -266,15 +266,18 @@ class NeuralFluid:
             out = p2
         else:
             # reflection variant (model_split.py:63-81): advect(dt/2) ->
-            # project -> advect(dt/2, MacCormack) -> project
+            # project -> advect(dt/2, MacCormack) -> project. Each fit
+            # instance gets its own stage_times key so per-fit wall-clock
+            # (and bench MFU) stays per-instance, not accumulated.
             key, k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 9)
             p1, st1 = advect(self._phase_init(state, k1), prev, tilde,
                              scene.dt / 2, False, k2)
             tilde = p1
             p2, P, st2 = self._project(state, p1, p1, k3, k4)
             p3, st3 = advect(self._phase_init(state, k5), p2, tilde,
-                             scene.dt / 2, True, k6)
-            p4, P, st4 = self._project(state, p3, p3, k7, k8)
+                             scene.dt / 2, True, k6, name="advect_fit2")
+            p4, P, st4 = self._project(state, p3, p3, k7, k8,
+                                       fit_name="project_fit2")
             self._last_stats = (st1, st2, st3, st4)
             out = p4
 
@@ -283,12 +286,14 @@ class NeuralFluid:
                               params_tilde=jax.tree.map(jnp.copy, out),
                               P=P, key=key)
 
-    def _project(self, state, params_init, prev, k_wost, k_fit):
+    def _project(self, state, params_init, prev, k_wost, k_fit,
+                 fit_name="project_fit"):
         """Pressure solve + projection fit (model_split.py:245-284)."""
         div_grid = self._timed("div_grid", _divergence_grid, self, prev,
                                state.eps, state.timestep)
         if self.projection == "spectral":
-            pts, valid, p, grad_p = _pressure_solve_spectral(
+            pts, valid, p, grad_p = self._timed(
+                "spectral_solve", _pressure_solve_spectral,
                 self, div_grid, k_wost, state.eps, state.timestep)
         elif self.projection == "bem":
             if self._bem is None:
@@ -311,7 +316,7 @@ class NeuralFluid:
         params_init = self._phase_init(state, jax.random.fold_in(k_fit, 1)) \
             if self.scene.reset_wts else params_init
         params, stats = self._timed(
-            "project_fit", _fit_project, self, params_init, prev, pts,
+            fit_name, _fit_project, self, params_init, prev, pts,
             grad_p, k_fit, state.eps, state.timestep)
         return params, P, stats
 

@@ -56,9 +56,9 @@ def street_metrics(series, dt, diameter, u_inflow, onset_rel=0.35):
     w = np.asarray(series, np.float64)
     n = len(w)
     trend_win = 24                 # ~2 shedding periods at St~0.2 scales
-    k = np.ones(trend_win) / trend_win
+    kern = np.ones(trend_win) / trend_win
     pad = trend_win // 2
-    trend = np.convolve(np.pad(w, pad, mode="edge"), k, mode="same")[
+    trend = np.convolve(np.pad(w, pad, mode="edge"), kern, mode="same")[
         pad:pad + n]
     hp = w - trend
     osc_win = 12
