@@ -22,6 +22,12 @@ def main(argv=None):
     p.add_argument("what", choices=["energy", "vorticity", "velocity"])
     p.add_argument("--exp", required=True, help="experiment dir (with model/)")
     p.add_argument("--resolution", type=int, default=None)
+    p.add_argument("--fmt", choices=["infer", "run"], default="infer",
+                   help="energy output format: 'infer' = Ek_r<res>.txt "
+                        "(0.5*sum u^2, infer.py:16-39); 'run' = regenerate "
+                        "the run dir's energy.txt (0.5*mean u^2 per frame, "
+                        "run.py's kinetic_energy minus the mean-pressure "
+                        "term P, which checkpoints do not store)")
     args = p.parse_args(argv)
 
     scene = get_scene(args.scene)
@@ -36,6 +42,7 @@ def main(argv=None):
     if args.what == "energy":
         # infer.py:16-39: Ek = 0.5 sum u^2 on the vis grid, plus source Ek
         eks = []
+        means = []
         for t in range(last + 1):
             params, _ = load_ckpt(model_dir, st.params, t)
             u = np.asarray(fluid.velocity(params,
@@ -43,6 +50,16 @@ def main(argv=None):
                                               scene.scene_size, res, True),
                                           eps=st.eps, t=t))
             eks.append(0.5 * float(np.sum(u ** 2)))
+            means.append(0.5 * float(np.mean(u ** 2)))
+        if args.fmt == "run":
+            # regenerate energy.txt for a run dir whose curve was cut by a
+            # pre-fix resume; row k = energy after step k+1, so drop the
+            # frame-0 checkpoint row to match run.py's convention
+            out = os.path.join(args.exp, "energy.txt")
+            np.savetxt(out, np.asarray(means[1:]))
+            print(f"wrote {out} ({len(means) - 1} frames, 0.5*mean|u|^2; "
+                  "the per-run mean-pressure offset P is not in ckpts)")
+            return
         pts = sampling.uniform_grid(scene.scene_size, res, True)
         ek_src = 0.5 * float(np.sum(
             np.asarray(scene.source_velocity(pts)) ** 2))
