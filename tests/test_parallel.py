@@ -78,6 +78,42 @@ def test_sharded_step_matches_single_device():
     assert int(out8.timestep) == 1
 
 
+def test_sharded_solve_divides_points_across_devices():
+    """The point-axis sharding must actually DIVIDE the work: every output
+    of the sharded pressure solve carries one shard of exactly N/devices
+    points per device (not a replicated copy)."""
+    import dataclasses
+    from nmcfluid.parallel import points_mesh
+    from nmcfluid.scenes import get_scene
+    from nmcfluid.sim import NeuralFluid
+    from nmcfluid.sim.fluid import _divergence_grid, _pressure_solve
+    from nmcfluid.wost.solver import WalkSettings
+
+    scene = get_scene("taylorgreen")
+    scene = dataclasses.replace(scene, max_n_iters=2)
+    mesh = points_mesh()
+    n_dev = mesh.devices.size
+    fl = NeuralFluid(scene, mesh=mesh, sample_resolution=8,
+                     wost_resolution=16, div_resolution=16,
+                     walk_settings=WalkSettings(n_walks=8, walk_step_cap=8))
+    st = fl.init_state(0)
+    with fl.mesh:
+        div = _divergence_grid(fl, st.params, st.eps, st.timestep)
+        pts, valid, p, g = _pressure_solve(fl, div, jax.random.PRNGKey(0),
+                                           st.eps, st.timestep)
+    n = pts.shape[0]
+    assert n % n_dev == 0
+    # `valid` is a tiny replicated bool mask; the heavy outputs must shard
+    for name, arr in [("pts", pts), ("p", p), ("g", g)]:
+        shards = arr.addressable_shards
+        assert len(shards) == n_dev, name
+        seen_devices = set()
+        for s in shards:
+            assert s.data.shape[0] == n // n_dev, (name, s.data.shape)
+            seen_devices.add(s.device)
+        assert len(seen_devices) == n_dev, name
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as g
     fn, args = g.entry()
