@@ -91,6 +91,10 @@ def build_parser():
     p.add_argument("--vis_resolution", type=int, default=None)
     p.add_argument("--vel_vis_resolution", type=int, default=None)
     p.add_argument("--early_stop_loss", type=float, default=None)
+    p.add_argument("--absorption", type=float, default=None,
+                   help="screening coefficient sigma (wost.json "
+                        "absorptionCoeff; 350 in every shipped config) — "
+                        "exposed for the screening-weight ablation")
     p.add_argument("--ckpt", type=int, default=-1,
                    help="resume from step N (config.py --ckpt). Like the "
                         "reference's loop, --n_timesteps counts steps run "
@@ -124,7 +128,7 @@ def scene_with_overrides(args):
     for f in ("lr", "dt", "bdry_eps", "karman_vel", "num_hidden_layers",
               "hidden_features", "nonlinearity", "sample_pattern",
               "src_duration", "vis_resolution", "vel_vis_resolution",
-              "early_stop_loss"):
+              "early_stop_loss", "absorption"):
         v = getattr(args, f)
         if v is not None:
             over[f] = v
