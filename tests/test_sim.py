@@ -258,3 +258,13 @@ def test_load_energy_keeps_pre_resume_rows(tmp_path):
     assert run_mod.load_energy(str(tmp_path), 10) == [1.0, 2.0, 3.0, 4.0]
     # no file yet
     assert run_mod.load_energy(str(tmp_path / "nope"), 3) == []
+
+
+def test_absorption_cli_override():
+    """--absorption (wost.json absorptionCoeff) must flow into the scene
+    spec so the screening-weight ablation exercises the real knob."""
+    from nmcfluid.run import build_parser, scene_with_overrides
+    args = build_parser().parse_args(["taylorgreen", "--absorption", "50"])
+    assert scene_with_overrides(args).absorption == 50.0
+    args = build_parser().parse_args(["taylorgreen"])
+    assert scene_with_overrides(args).absorption == 350.0
