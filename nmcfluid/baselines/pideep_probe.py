@@ -66,6 +66,7 @@ def main(argv=None):
     ap.add_argument("probe", choices=["supervised", "coef"])
     ap.add_argument("--n_out", type=int, nargs="+", default=None)
     ap.add_argument("--max_n_iters", type=int, default=50_000)
+    ap.add_argument("--sample_resolution", type=int, default=128)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--dt", type=float, default=0.001)
@@ -79,6 +80,7 @@ def main(argv=None):
                             else [60, 150, 300])
     for n_out in n_outs:
         m = PIDeepONetFluid(max_n_iters=args.max_n_iters, lr=args.lr,
+                            sample_resolution=args.sample_resolution,
                             n_out=n_out)
         st = m.init()
         t0 = time.time()
