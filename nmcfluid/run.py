@@ -104,6 +104,11 @@ def build_parser():
                    help="save velocity/vorticity pngs per frame")
     p.add_argument("--density", action="store_true",
                    help="run the density/export replay after simulating")
+    p.add_argument("--density_only", action="store_true",
+                   help="skip simulation: run only the density/export "
+                        "replay over the checkpoints already in the "
+                        "experiment dir (the reference ships this as the "
+                        "separate move_density.py invocation in run.sh)")
     p.add_argument("--density_resolution", type=int, default=None,
                    help="density transport grid (default: the "
                         "reference's 1000^2 / 200^3, move_density.py)")
@@ -347,6 +352,11 @@ def main(argv=None):
         json.dump(cfg, f, indent=2)
 
     fluid = make_fluid(args)
+    if args.density_only:
+        run_density(fluid, args, exp_dir, model_dir)
+        dirs["density"] = os.path.join(exp_dir, "density")
+        assemble_gifs(exp_dir, dirs)
+        return
     n_steps = args.n_timesteps or scene.n_timesteps
 
     state = fluid.init_state(args.seed)

@@ -1,4 +1,5 @@
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -203,6 +204,27 @@ def test_src_duration_resourcing_keyed_on_absolute_timestep(tmp_path,
     calls.clear()
     run_mod.main(args + ["--ckpt", "3"])   # resume past the window
     assert calls == []                      # no re-sourcing on resume
+
+
+def test_density_only_replays_without_simulating(tmp_path):
+    """--density_only runs the export pass over existing checkpoints and
+    must not simulate (the reference ships this as the separate
+    move_density.py command in every run.sh)."""
+    from nmcfluid import run as run_mod
+    base = ["taylorgreen", "--n_timesteps", "2", "--max_n_iters", "5",
+            "--sample_resolution", "8", "--wost_resolution", "8",
+            "--div_resolution", "16", "--n_walks", "8",
+            "--walk_step_cap", "8", "--out", str(tmp_path)]
+    run_mod.main(base)
+    model_dir = tmp_path / "taylorgreen" / "model"
+    ckpts = sorted(os.listdir(model_dir))
+    assert len(ckpts) == 3                      # t0, t1, t2
+
+    run_mod.main(base + ["--density_only", "--density_resolution", "16"])
+    exp = tmp_path / "taylorgreen"
+    errs = np.loadtxt(exp / "error_ours.txt", ndmin=1)
+    assert errs.shape[0] == 3 and np.all(np.isfinite(errs))
+    assert sorted(os.listdir(model_dir)) == ckpts   # no new simulation
 
 
 def test_fit_unroll_is_exact():
