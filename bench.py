@@ -23,6 +23,13 @@ frame also runs two <=10k-iter GPU training fits we cannot time here.
 Env overrides for quick checks: NMCFLUID_BENCH_SCALE (divides resolutions),
 NMCFLUID_BENCH_ITERS (caps Adam iters), NMCFLUID_BENCH_SCENE,
 NMCFLUID_BENCH_PROJECTION, NMCFLUID_BENCH_PLATEAU.
+
+The headline line stays the reference-parity MC (wost) frame; on 2D scenes
+the same invocation also times the flagship deterministic mode (bem) and
+records it under bench_detail.json["flagship"] (disable with
+NMCFLUID_BENCH_FLAGSHIP=0). fit_plateau remains off everywhere: the round-3
+TG gate measured 7.8e-4 / 6.3e-4 error at plateau 500 / 1000 vs the
+published 4.142e-4 — the windowed-relative stop cannot hold the floor.
 """
 import json
 import os
@@ -126,6 +133,33 @@ def main():
         pass
     vs = (baseline / sec) if baseline else 1.0
 
+    # flagship frame (VERDICT r2 #1: report the parity wost frame AND the
+    # best deterministic mode in one capture). 2D scenes only — bem is a
+    # 2D projection; plateau stays off (killed by the r3 TG error gate).
+    flagship = None
+    if (scene.dim == 2 and projection == "wost"
+            and os.environ.get("NMCFLUID_BENCH_FLAGSHIP") != "0"):
+        fl2 = NeuralFluid(
+            scene, projection="bem",
+            max_n_iters=int(iters) if iters else scene.max_n_iters,
+            sample_resolution=max(8, scene.sample_resolution // scale),
+            wost_resolution=max(8, scene.wost_resolution // scale),
+            div_resolution=None if scale == 1 else max(32, 1000 // scale),
+            walk_settings=scene.walk_settings(
+                n_walks=max(8, scene.n_walks // scale)))
+        st2 = fl2.add_source(fl2.init_state(0))
+        if scene_name == "karman":
+            st2 = st2._replace(eps=st2.eps / 2)
+        st2 = fl2.step(st2)                  # compile + warm
+        jax.block_until_ready(st2.params)
+        t0 = time.time()
+        st2 = fl2.step(st2)
+        jax.block_until_ready(st2.params)
+        fsec = time.time() - t0
+        flagship = {"projection": "bem", "timed_step_s": round(fsec, 3),
+                    "vs_baseline": round(baseline / fsec, 3)
+                    if baseline else None}
+
     print(json.dumps({
         "metric": f"{scene_name}{scene.dim}d_sec_per_frame",
         "value": round(sec, 3),
@@ -137,6 +171,7 @@ def main():
         json.dump({"warm_step_s": warm, "timed_step_s": sec,
                    "stage_breakdown_s": stages,
                    "fit_mfu": mfu,
+                   "flagship": flagship,
                    "scene": scene_name, "projection": projection,
                    "scale": scale, "iters_cap": iters,
                    "device": str(jax.devices()[0])}, f, indent=2)

@@ -59,7 +59,8 @@ def build_parser():
                    help="stop a phase fit at the end of any N-iter "
                         "window that improved the smoothed loss by "
                         "<0.5%% relative (0 = reference behavior: run "
-                        "all max_n_iters)")
+                        "all max_n_iters; TG-gated OFF by default — "
+                        "see PARITY.md 'fit_plateau gate')")
     p.add_argument("--param_ema", type=float, default=0.0,
                    help="Polyak parameter averaging per phase (0 = off)")
     p.add_argument("--fit_unroll", type=int, default=4,

@@ -108,8 +108,13 @@ class NeuralFluid:
         never fires, base.py:129-152, so every phase burns the full
         max_n_iters even after the loss floors). With the deterministic
         projections the two fits ARE the frame, so ending them at the
-        plateau converts directly into frames/sec; validated against the
-        TG error curve before changing any default."""
+        plateau converts directly into frames/sec. Gated on the TG error
+        curve (round 3, PARITY.md "fit_plateau gate"): plateau 250/500/
+        1000 land at 1.06e-3/7.8e-4/6.3e-4 mean error vs 3.62e-4 with
+        the full budget — the fit residual compounds through the
+        semi-Lagrangian targets — so the default stays OFF; the knob
+        remains for speed-over-accuracy runs (plateau 1000 = 3.6x the
+        frames at INSR-beating error)."""
         self.scene = scene
         self.adv_ref = adv_ref
         self.projection = projection
