@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--axis", type=int, default=1,
                     help="view axis to integrate along")
     ap.add_argument("--absorb", type=float, default=60.0)
+    ap.add_argument("--smoke_gray", type=float, default=0.35,
+                    help="albedo for scenes without Cd colors; must differ "
+                         "from the white background or the composite is "
+                         "identically bg (sum(w*c) + T*bg == 1 when c == bg)")
     args = ap.parse_args(argv)
     import matplotlib
     matplotlib.use("Agg")
@@ -56,7 +60,9 @@ def main(argv=None):
             rho = z["density"]
             col = z["Cd"] if "Cd" in z.files else None
         if col is None:
-            col = np.ones(rho.shape + (3,), np.float32)
+            # gray smoke on the white background, like the reference's
+            # Blender plume renders (final_material/smoke_plume/plume*.png)
+            col = np.full(rho.shape + (3,), args.smoke_gray, np.float32)
         img = composite(rho, col, axis=args.axis, absorb=args.absorb)
         out = os.path.join(out_dir, f"density_t{t:03d}.png")
         plt.imsave(out, np.clip(np.rot90(img), 0.0, 1.0))
