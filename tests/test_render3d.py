@@ -50,3 +50,25 @@ def test_view_axis_selects_projection():
     img_y = composite(rho, col, axis=1, bg=0.0)   # (x, z) image
     assert (img_x.sum(axis=-1) > 0.1).sum() == 1          # single pixel
     assert (img_y.sum(axis=-1) > 0.1).sum() == 8          # full line
+
+
+def test_uncolored_smoke_visible_on_white(tmp_path):
+    # regression: with col == bg the composite is identically bg
+    # (sum(w*c) + T*bg == 1 when c == bg == 1), so the CLI must default
+    # uncolored scenes (smoke/smoke_obs/karman3d npz without Cd) to a
+    # gray albedo — the rendered plume must differ from the background.
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from nmcfluid.tools_render_density3d import main
+
+    rho = np.zeros((8, 8, 8), np.float32)
+    rho[3:5, 3:5, 3:5] = 5.0
+    dens = tmp_path / "density"
+    dens.mkdir()
+    np.savez_compressed(dens / "density_t001.npz", density=rho,
+                        vel=np.zeros(rho.shape + (3,), np.float32))
+    main([str(tmp_path), "--frames", "1"])
+    img = plt.imread(tmp_path / "render" / "density_t001.png")
+    assert img[..., :3].min() < 0.9  # smoke visibly darker than bg
+    assert img[..., :3].max() > 0.99  # background still white
