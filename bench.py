@@ -22,7 +22,8 @@ frame also runs two <=10k-iter GPU training fits we cannot time here.
 
 Env overrides for quick checks: NMCFLUID_BENCH_SCALE (divides resolutions),
 NMCFLUID_BENCH_ITERS (caps Adam iters), NMCFLUID_BENCH_SCENE,
-NMCFLUID_BENCH_PROJECTION, NMCFLUID_BENCH_PLATEAU.
+NMCFLUID_BENCH_PROJECTION, NMCFLUID_BENCH_PLATEAU, NMCFLUID_BENCH_DETAIL
+(where to write the detail JSON; default bench_detail.json).
 
 The headline line stays the reference-parity MC (wost) frame; on 2D scenes
 the same invocation also times the flagship deterministic mode (bem) and
@@ -167,7 +168,8 @@ def main():
         "vs_baseline": round(vs, 3),
     }))
     # secondary diagnostics on stderr-like extra line? keep contract: 1 line
-    with open("bench_detail.json", "w") as f:
+    detail_path = os.environ.get("NMCFLUID_BENCH_DETAIL", "bench_detail.json")
+    with open(detail_path, "w") as f:
         json.dump({"warm_step_s": warm, "timed_step_s": sec,
                    "stage_breakdown_s": stages,
                    "fit_mfu": mfu,
