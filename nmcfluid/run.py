@@ -100,6 +100,11 @@ def build_parser():
                    help="resume from step N (config.py --ckpt). Like the "
                         "reference's loop, --n_timesteps counts steps run "
                         "THIS invocation, not the absolute final step")
+    p.add_argument("--until", type=int, default=None,
+                   help="stop once the absolute step counter reaches N "
+                        "(a --ckpt resume otherwise runs --n_timesteps "
+                        "MORE steps and overshoots the shipped frame "
+                        "count)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--draw", action="store_true",
                    help="save velocity/vorticity pngs per frame")
@@ -384,6 +389,8 @@ def main(argv=None):
 
     fluid.profile = bool(args.stage_times)
     energy = load_energy(exp_dir, args.ckpt)
+    if args.until is not None:
+        n_steps = max(0, args.until - int(state.timestep))
     for it in range(n_steps):
         t0 = time.time()
         # re-fit the source while the ABSOLUTE frame counter t is in

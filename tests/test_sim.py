@@ -290,3 +290,25 @@ def test_absorption_cli_override():
     assert scene_with_overrides(args).absorption == 50.0
     args = build_parser().parse_args(["taylorgreen"])
     assert scene_with_overrides(args).absorption == 350.0
+
+
+def test_until_bounds_resume_at_absolute_step(tmp_path):
+    """--until N stops the loop at absolute step N: a --ckpt resume with
+    the scene's default --n_timesteps otherwise runs N more steps and
+    overshoots the shipped frame count."""
+    from nmcfluid import run as run_mod
+
+    args = ["taylorgreen", "--max_n_iters", "5",
+            "--sample_resolution", "8", "--wost_resolution", "8",
+            "--div_resolution", "16", "--n_walks", "8",
+            "--walk_step_cap", "8", "--out", str(tmp_path)]
+    run_mod.main(args + ["--n_timesteps", "2"])
+    model_dir = os.path.join(str(tmp_path), "taylorgreen", "model")
+    assert sorted(os.listdir(model_dir))[-1] == "ckpt_step_t002.npz"
+    # resume to absolute step 3 (one more step, not n_timesteps more)
+    run_mod.main(args + ["--n_timesteps", "2", "--ckpt", "2",
+                         "--until", "3"])
+    assert sorted(os.listdir(model_dir))[-1] == "ckpt_step_t003.npz"
+    # already there: no-op
+    run_mod.main(args + ["--ckpt", "3", "--until", "3"])
+    assert sorted(os.listdir(model_dir))[-1] == "ckpt_step_t003.npz"
