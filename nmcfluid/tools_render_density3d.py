@@ -43,6 +43,12 @@ def main(argv=None):
                     help="albedo for scenes without Cd colors; must differ "
                          "from the white background or the composite is "
                          "identically bg (sum(w*c) + T*bg == 1 when c == bg)")
+    ap.add_argument("--deficit", action="store_true",
+                    help="render max(rho)-rho instead of rho: for scenes "
+                         "whose density IC is near-uniform dye (karman3d: "
+                         "|u0| = 0.5 everywhere in fluid, move_density.py "
+                         "3d:49-117), the flow signature is the dye "
+                         "DEFICIT the wake carves out, not the dye itself")
     args = ap.parse_args(argv)
     import matplotlib
     matplotlib.use("Agg")
@@ -59,6 +65,8 @@ def main(argv=None):
         with np.load(path) as z:
             rho = z["density"]
             col = z["Cd"] if "Cd" in z.files else None
+        if args.deficit:
+            rho = float(rho.max()) - rho
         if col is None:
             # gray smoke on the white background, like the reference's
             # Blender plume renders (final_material/smoke_plume/plume*.png)

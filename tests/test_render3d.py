@@ -72,3 +72,30 @@ def test_uncolored_smoke_visible_on_white(tmp_path):
     img = plt.imread(tmp_path / "render" / "density_t001.png")
     assert img[..., :3].min() < 0.9  # smoke visibly darker than bg
     assert img[..., :3].max() > 0.99  # background still white
+
+
+def test_deficit_mode_reveals_uniform_dye_wake(tmp_path):
+    # karman3d's density IC is uniform dye (|u0| = 0.5 everywhere in
+    # fluid, move_density.py 3d:49-117): a straight absorption render is
+    # a featureless slab; --deficit renders max(rho)-rho so the wake's
+    # dye deficit is the visible structure.
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from nmcfluid.tools_render_density3d import main
+
+    rho = np.full((8, 8, 8), 0.5, np.float32)
+    rho[3:5, 3:5, 3:5] = 0.1   # the wake deficit
+    dens = tmp_path / "density"
+    dens.mkdir()
+    np.savez_compressed(dens / "density_t001.npz", density=rho,
+                        vel=np.zeros(rho.shape + (3,), np.float32))
+    main([str(tmp_path), "--frames", "1"])
+    flat = plt.imread(tmp_path / "render" / "density_t001.png")[..., :3]
+    main([str(tmp_path), "--frames", "1", "--deficit"])
+    dfc = plt.imread(tmp_path / "render" / "density_t001.png")[..., :3]
+    # straight render: near-uniform (deficit region barely lighter)
+    assert flat.max() - flat.min() < 0.2
+    # deficit render: background white, wake visibly dark
+    assert dfc.max() > 0.99
+    assert dfc.min() < 0.7
