@@ -108,7 +108,11 @@ def main():
         stats = stats if isinstance(stats, tuple) else (stats,)
         eval_flops = sum(2 * w.shape[0] * w.shape[1]
                          for w, _ in state.params) * fluid.n_batch
-        passes = 6   # Precision.HIGHEST bf16 decomposition
+        # bf16 passes per f32 matmul under the active emulation depth
+        # (models/siren.py NMCFLUID_MATMUL_PRECISION; HIGHEST=6, HIGH=3,
+        # DEFAULT=1)
+        passes = {"highest": 6, "high": 3, "default": 1}[
+            os.environ.get("NMCFLUID_MATMUL_PRECISION", "highest").lower()]
         peak = 197e12 if "TPU v5" in str(jax.devices()[0]) else None
         names = (["advect_fit", "project_fit"] if len(stats) == 2 else
                  ["advect_fit", "project_fit", "advect_fit2",
