@@ -49,6 +49,15 @@ def main(argv=None):
                          "|u0| = 0.5 everywhere in fluid, move_density.py "
                          "3d:49-117), the flow signature is the dye "
                          "DEFICIT the wake carves out, not the dye itself")
+    ap.add_argument("--gif", metavar="OUT.gif", default=None,
+                    help="also assemble the rendered frames (in --frames "
+                         "order) into an animated gif — the stand-in for "
+                         "the reference's published videos "
+                         "(final_material/smoke_plume/plume.mp4)")
+    ap.add_argument("--every", type=int, default=0, metavar="K",
+                    help="instead of --frames, render every Kth frame "
+                         "present in EXPDIR/density/")
+    ap.add_argument("--fps", type=int, default=10)
     args = ap.parse_args(argv)
     import matplotlib
     matplotlib.use("Agg")
@@ -56,7 +65,16 @@ def main(argv=None):
 
     out_dir = os.path.join(args.expdir, "render")
     os.makedirs(out_dir, exist_ok=True)
-    for t in args.frames:
+    frames = args.frames
+    if args.every:
+        import re
+        avail = sorted(
+            int(m.group(1))
+            for f in os.listdir(os.path.join(args.expdir, "density"))
+            if (m := re.match(r"density_t(\d+)\.npz$", f)))
+        frames = avail[::args.every]
+    gif_frames = []
+    for t in frames:
         path = os.path.join(args.expdir, "density",
                             f"density_t{t:03d}.npz")
         if not os.path.exists(path):
@@ -72,9 +90,18 @@ def main(argv=None):
             # Blender plume renders (final_material/smoke_plume/plume*.png)
             col = np.full(rho.shape + (3,), args.smoke_gray, np.float32)
         img = composite(rho, col, axis=args.axis, absorb=args.absorb)
+        img = np.clip(np.rot90(img), 0.0, 1.0)
         out = os.path.join(out_dir, f"density_t{t:03d}.png")
-        plt.imsave(out, np.clip(np.rot90(img), 0.0, 1.0))
+        plt.imsave(out, img)
         print("wrote", out)
+        if args.gif:
+            gif_frames.append((img * 255).astype(np.uint8))
+    if args.gif and gif_frames:
+        from PIL import Image
+        ims = [Image.fromarray(f) for f in gif_frames]
+        ims[0].save(args.gif, save_all=True, append_images=ims[1:],
+                    duration=max(1, 1000 // args.fps), loop=0)
+        print("wrote", args.gif, f"({len(ims)} frames)")
 
 
 if __name__ == "__main__":

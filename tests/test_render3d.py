@@ -99,3 +99,25 @@ def test_deficit_mode_reveals_uniform_dye_wake(tmp_path):
     # deficit render: background white, wake visibly dark
     assert dfc.max() > 0.99
     assert dfc.min() < 0.7
+
+
+def test_every_and_gif_assembly(tmp_path):
+    # --every K discovers frames from the density dir; --gif assembles
+    # them into an animated gif (stand-in for the reference's plume.mp4)
+    from PIL import Image
+    from nmcfluid.tools_render_density3d import main
+
+    dens = tmp_path / "density"
+    dens.mkdir()
+    for t in range(6):
+        rho = np.zeros((8, 8, 8), np.float32)
+        rho[t + 1, 3:5, 3:5] = 5.0
+        np.savez_compressed(dens / f"density_t{t:03d}.npz", density=rho)
+    gif = tmp_path / "anim.gif"
+    main([str(tmp_path), "--every", "2", "--gif", str(gif)])
+    # frames 0, 2, 4 rendered
+    assert sorted(p.name for p in (tmp_path / "render").iterdir()) == [
+        "density_t000.png", "density_t002.png", "density_t004.png"]
+    with Image.open(gif) as im:
+        assert im.n_frames == 3
+        assert im.size == (8, 8)
