@@ -22,8 +22,10 @@ frame also runs two <=10k-iter GPU training fits we cannot time here.
 
 Env overrides for quick checks: NMCFLUID_BENCH_SCALE (divides resolutions),
 NMCFLUID_BENCH_ITERS (caps Adam iters), NMCFLUID_BENCH_SCENE,
-NMCFLUID_BENCH_PROJECTION, NMCFLUID_BENCH_PLATEAU, NMCFLUID_BENCH_DETAIL
-(where to write the detail JSON; default bench_detail.json).
+NMCFLUID_BENCH_PROJECTION, NMCFLUID_BENCH_PLATEAU, NMCFLUID_BENCH_UNROLL
+(Adam iterations per while_loop trip — numerically identical at any
+value, see _adam_fit), NMCFLUID_BENCH_DETAIL (where to write the detail
+JSON; default bench_detail.json).
 
 The headline line stays the reference-parity MC (wost) frame; on 2D scenes
 the same invocation also times the flagship deterministic mode (bem) and
@@ -62,6 +64,7 @@ def main():
         scene,
         projection=projection,
         fit_plateau=int(os.environ.get("NMCFLUID_BENCH_PLATEAU", "0")),
+        fit_unroll=int(os.environ.get("NMCFLUID_BENCH_UNROLL", "4")),
         max_n_iters=int(iters) if iters else scene.max_n_iters,
         sample_resolution=max(8, scene.sample_resolution // scale),
         wost_resolution=max(8, scene.wost_resolution // scale),
@@ -112,7 +115,7 @@ def main():
         # (models/siren.py NMCFLUID_MATMUL_PRECISION; HIGHEST=6, HIGH=3,
         # DEFAULT=1)
         passes = {"highest": 6, "high": 3, "default": 1}[
-            os.environ.get("NMCFLUID_MATMUL_PRECISION", "highest").lower()]
+            os.environ.get("NMCFLUID_MATMUL_PRECISION", "high").lower()]
         peak = 197e12 if "TPU v5" in str(jax.devices()[0]) else None
         names = (["advect_fit", "project_fit"] if len(stats) == 2 else
                  ["advect_fit", "project_fit", "advect_fit2",

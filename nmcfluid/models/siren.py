@@ -32,15 +32,19 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-# f32 emulation depth for the network matmuls. HIGHEST (6-pass bf16) is
-# the accuracy-validated default; NMCFLUID_MATMUL_PRECISION=high selects
-# the 3-pass variant (~22-bit mantissa coverage) for perf probing — do
-# not ship it as default without re-checking the TG error curve.
+# f32 emulation depth for the network matmuls. HIGH (3-pass bf16,
+# ~22-bit mantissa coverage) is the accuracy-validated default: the
+# round-3 TG gate measured frames-1-50 mean error 3.578e-4 under HIGH vs
+# 3.62e-4 under the 6-pass HIGHEST (both beat the published 4.142e-4)
+# at 15% less 2D frame time / 18% less 3D (docs/precision_gate section
+# of PARITY.md). Pure-bf16 DEFAULT fails the same gate (6.86e-4,
+# drifting to 1.35e-3 by frame 50) — 8 mantissa bits cannot hold the
+# ~1e-7-loss per-frame refits. Override with NMCFLUID_MATMUL_PRECISION.
 _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
-}[os.environ.get("NMCFLUID_MATMUL_PRECISION", "highest").lower()]
+}[os.environ.get("NMCFLUID_MATMUL_PRECISION", "high").lower()]
 
 Params = List[Tuple[jax.Array, jax.Array]]
 
