@@ -107,9 +107,19 @@ def apply_siren(params: Params, cfg: SirenConfig, x):
     """Evaluate the network at x (..., in_features) -> (..., out_features).
 
     The outermost layer is linear (networks.py:53-54, outermost_linear)."""
+    w, b = params[-1]
+    dot = partial(jnp.dot, precision=_PRECISION)
+    return dot(apply_siren_features(params, cfg, x), w) + b
+
+
+def apply_siren_features(params: Params, cfg: SirenConfig, x):
+    """Penultimate activations: the (..., hidden_features) input to the
+    final linear layer. Because that layer is linear (outermost_linear,
+    networks.py:53-54), the network is affine in its head given these
+    features — which is what makes the closed-form head solve in
+    sim.fluid exact."""
     dot = partial(jnp.dot, precision=_PRECISION)
     h = x
     for w, b in params[:-1]:
         h = _nl(cfg.nonlinearity, dot(h, w) + b)
-    w, b = params[-1]
-    return dot(h, w) + b
+    return h

@@ -63,6 +63,14 @@ def build_parser():
                         "see PARITY.md 'fit_plateau gate')")
     p.add_argument("--param_ema", type=float, default=0.0,
                    help="Polyak parameter averaging per phase (0 = off)")
+    p.add_argument("--ls_head", type=int, default=8,
+                   help="finish every phase fit with a closed-form "
+                        "weighted-ridge solve of the final linear layer "
+                        "over N fresh minibatches (the hard-BC wrapper "
+                        "is affine in the raw output, so the head "
+                        "optimum is exact; 0 = off; default 8 passed "
+                        "the round-3 TG gate at unchanged frame time, "
+                        "see PARITY.md 'ls_head gate')")
     p.add_argument("--fit_unroll", type=int, default=4,
                    help="Adam iterations per while-loop trip in the phase "
                         "fits (results identical for any value; >1 "
@@ -174,6 +182,7 @@ def make_fluid(args):
                        grad_clip=args.grad_clip,
                        fit_unroll=args.fit_unroll,
                        fit_plateau=args.fit_plateau,
+                       ls_head=args.ls_head,
                        mesh=mesh)
 
 

@@ -31,7 +31,8 @@ import optax
 
 from ..geometry import queries2d, queries3d
 from ..models.boundary import apply_boundary
-from ..models.siren import SirenConfig, apply_siren, init_siren
+from ..models.siren import (SirenConfig, apply_siren, apply_siren_features,
+                            init_siren)
 from ..wost.solver import (WalkSettings, WostScene,
                            estimate_solution_and_gradient)
 from . import sampling
@@ -74,6 +75,7 @@ class NeuralFluid:
                  grad_clip: float = -1.0,
                  fit_unroll: int = 4,
                  fit_plateau: int = 0,
+                 ls_head: int = 8,
                  mesh=None):
         """projection: 'wost' (the reference's Monte Carlo pressure solve)
         or 'spectral' (deterministic DCT grid solve on the divergence grid
@@ -114,7 +116,23 @@ class NeuralFluid:
         the full budget — the fit residual compounds through the
         semi-Lagrangian targets — so the default stays OFF; the knob
         remains for speed-over-accuracy runs (plateau 1000 = 3.6x the
-        frames at INSR-beating error)."""
+        frames at INSR-beating error).
+
+        ls_head: number of fresh minibatches over which to solve the
+        final linear layer in CLOSED FORM (weighted ridge least squares)
+        at the end of every phase fit; 0 disables. Every scene's hard-BC
+        wrapper is affine in the raw network output (models/boundary.py
+        — masks, ramps and the jpipe corner projection are all linear in
+        vel at fixed x), so with the trunk frozen the phase loss is an
+        exact linear least-squares problem in the head: the solve lands
+        the head at the minibatch-loss optimum that Adam's constant-lr
+        wander never reaches (part of the TG error floor, PARITY.md
+        round-2 gap decomposition). Default ON at 8 batches on the
+        round-3 TG gate: frames-1-50 error 3.578e-4 -> 3.458e-4 under
+        bem, 3.69e-4 -> 3.538e-4 under the parity MC walk, at unchanged
+        frame time (the solve is one (h1*dim)^2 eigensolve per phase);
+        a fresh-batch do-no-harm guard keeps the Adam endpoint whenever
+        the solve does not generalize (see PARITY.md 'ls_head gate')."""
         self.scene = scene
         self.adv_ref = adv_ref
         self.projection = projection
@@ -136,6 +154,7 @@ class NeuralFluid:
         self.grad_clip = grad_clip
         self.fit_unroll = fit_unroll
         self.fit_plateau = fit_plateau
+        self.ls_head = ls_head
         self.mesh = mesh
         self.max_n_iters = max_n_iters or scene.max_n_iters
         self.sample_resolution = sample_resolution or scene.sample_resolution
@@ -214,6 +233,26 @@ class NeuralFluid:
         if key is None:
             key = jax.random.PRNGKey(7)
         return apply_boundary(self.scene, raw, x, eps=eps, t=t, key=key)
+
+    def velocity_affine(self, x, *, eps, t):
+        """The affine decomposition of the scene's hard-BC wrapper at x:
+        apply_boundary(raw) == A(x) @ raw + c(x) for every scene
+        (models/boundary.py — at fixed x the wrapper is built from
+        where-masks, component ramps, and the jpipe corner projection,
+        all linear in the raw output). Returns (A, c) with
+        A (..., D_out, D_in) and c (..., D). Uses the same key the fit
+        loops use (fluid.velocity with key=None), so the smoke jet's
+        time-seeded jitter matches."""
+        dim = self.scene.dim
+        key = jax.random.PRNGKey(7)
+
+        def g(raw):
+            return apply_boundary(self.scene, raw, x, eps=eps, t=t, key=key)
+
+        zero = jnp.zeros(x.shape[:-1] + (dim,), jnp.float32)
+        c = g(zero)
+        cols = [g(zero.at[..., d].set(1.0)) - c for d in range(dim)]
+        return jnp.stack(cols, axis=-1), c
 
     # ----------------------------------------------------------------- init
 
@@ -452,7 +491,77 @@ def _adam_fit(fluid, params0, key, batch_fn):
                        jnp.int32(0))
     carry = jax.lax.while_loop(cond, body, init)
     i, params, ema, _, loss = carry[:5]
-    return (ema if gamma > 0.0 else params), FitStats(iters=i, loss=loss)
+    out = ema if gamma > 0.0 else params
+    if fluid.ls_head > 0:
+        out = _ls_head_solve(fluid, out, key, batch_fn)
+    return out, FitStats(iters=i, loss=loss)
+
+
+def _ls_head_solve(fluid, params, key, batch_fn):
+    """Closed-form finish of the phase fit: solve the final linear layer
+    by weighted ridge least squares over `fluid.ls_head` fresh
+    minibatches, holding the trunk fixed.
+
+    With features phi(x) (the penultimate activations) and the affine
+    hard-BC wrapper u = A(x) (W^T phi + b) + c(x), the phase loss
+    sum_i w_i |u_i - target_i|^2 is exactly quadratic in (W, b); the
+    normal-equation solve lands the head at the optimum in one step.
+    Solved in DELTA form (unknown = head increment against the Adam
+    endpoint) so the f32 normal equations only carry the small
+    correction, not the full head. The reference has no analog — its
+    fits are pure minibatch Adam (base.py:129-152) whose constant-lr
+    endpoint wanders at an ~lr-sized function-space noise floor."""
+    W, b = params[-1]
+    dim = fluid.scene.dim
+    h1 = W.shape[0] + 1                       # features + bias column
+    dot = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+    M = jnp.zeros((h1, dim, h1, dim), jnp.float32)
+    rhs = jnp.zeros((h1, dim), jnp.float32)
+    for j in range(fluid.ls_head):
+        # keys disjoint from the training iterations' fold_in(key, i<max)
+        kb = jax.random.fold_in(key, fluid.max_n_iters + 1 + j)
+        x, target, w = batch_fn.batch(kb)
+        phi = batch_fn.features(params, x)
+        phi1 = jnp.concatenate([phi, jnp.ones_like(phi[..., :1])], -1)
+        A, _ = batch_fn.affine(x)
+        y = target - batch_fn.velocity(params, x)   # residual at endpoint
+        G = jnp.einsum('nde,ndf->nef', A, A)
+        Ay = jnp.einsum('nde,nd->ne', A, y)
+        for e in range(dim):
+            rhs = rhs.at[:, e].add(dot(phi1.T, w * Ay[:, e]))
+            for f in range(dim):
+                blk = dot((phi1 * (w * G[:, e, f])[:, None]).T, phi1)
+                M = M.at[:, e, :, f].add(blk)
+    n = h1 * dim
+    Mf = M.reshape(n, n)
+    rf = rhs.reshape(n)
+    # Normal equations square the design's condition number, and trunk
+    # features are strongly correlated, so f32 LU noise can exceed the
+    # tiny near-convergence residual. Solve by eigendecomposition with a
+    # relative cutoff instead: directions whose curvature is below
+    # 1e-5 * lambda_max carry no trustworthy f32 information — leave
+    # the Adam endpoint untouched there (delta = 0).
+    evals, evecs = jnp.linalg.eigh(Mf)
+    lmax = jnp.maximum(evals[-1], 1e-30)
+    inv = jnp.where(evals > 1e-5 * lmax,
+                    1.0 / jnp.maximum(evals, 1e-5 * lmax), 0.0)
+    delta = (evecs @ (inv * (evecs.T @ rf))).reshape(h1, dim)
+    cand = params[:-1] + [(W + delta[:-1], b + delta[-1])]
+
+    # do-no-harm guard: the solve optimizes the sampled batches; at tiny
+    # batch sizes (or a fully converged fit) the delta can be sampling
+    # noise. Compare endpoint vs solved head on a FRESH batch and keep
+    # the better one.
+    kb = jax.random.fold_in(key, fluid.max_n_iters + 1 + fluid.ls_head)
+    x, target, w = batch_fn.batch(kb)
+
+    def batch_loss(p):
+        u = batch_fn.velocity(p, x)
+        se = jnp.sum((u - target) ** 2, axis=-1)
+        return jnp.sum(w * se) / (jnp.maximum(jnp.sum(w), 1.0) * dim)
+
+    better = batch_loss(cand) <= batch_loss(params)
+    return jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, params)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -474,6 +583,14 @@ def _fit_source(fluid, params0, key, eps, t):
         @staticmethod
         def velocity(params, x):
             return fluid.velocity(params, x, eps=eps, t=t)
+
+        @staticmethod
+        def features(params, x):
+            return apply_siren_features(params, fluid.siren_cfg, x)
+
+        @staticmethod
+        def affine(x):
+            return fluid.velocity_affine(x, eps=eps, t=t)
 
     return _adam_fit(fluid, params0, key, B)
 
@@ -504,6 +621,14 @@ def _fit_advect(fluid, flag, params0, prev, tilde, dt, key, eps, t):
         def velocity(params, x):
             return fluid.velocity(params, x, eps=eps, t=t)
 
+        @staticmethod
+        def features(params, x):
+            return apply_siren_features(params, fluid.siren_cfg, x)
+
+        @staticmethod
+        def affine(x):
+            return fluid.velocity_affine(x, eps=eps, t=t)
+
     return _adam_fit(fluid, params0, key, B)
 
 
@@ -526,6 +651,14 @@ def _fit_project(fluid, params0, prev, pressure_pts, grad_p, key, eps, t):
         @staticmethod
         def velocity(params, x):
             return fluid_.velocity(params, x, eps=eps, t=t)
+
+        @staticmethod
+        def features(params, x):
+            return apply_siren_features(params, fluid_.siren_cfg, x)
+
+        @staticmethod
+        def affine(x):
+            return fluid_.velocity_affine(x, eps=eps, t=t)
 
     return _adam_fit(fluid, params0, key, B)
 
