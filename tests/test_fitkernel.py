@@ -1,0 +1,119 @@
+"""The fused Pallas phase-fit kernel (sim/fitkernel.py).
+
+The kernel is the whole Adam training loop in one pallas_call; its
+oracle is `reference_adam_fit`, a pure-JAX/optax mirror with identical
+semantics (pool-cycled minibatches, same Adam constants). Tests run the
+kernel in interpret mode on CPU (the conftest pins JAX_PLATFORMS=cpu;
+`_want_interpret` turns interpretation on automatically there), so the
+numerics are bitwise f32 and the comparison is tight.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmcfluid.models.siren import SirenConfig, init_siren
+from nmcfluid.sim.fitkernel import fused_adam_fit, reference_adam_fit
+
+
+def make_problem(key, *, D_in=2, D_out=2, H=64, Lh=2, K=3, B=256,
+                 affine_identity=False):
+    cfg = SirenConfig(in_features=D_in, out_features=D_out,
+                      num_hidden_layers=Lh, hidden_features=H)
+    kp, kx, kA, kc, kt, kw = jax.random.split(key, 6)
+    params = init_siren(kp, cfg)
+    x = jax.random.uniform(kx, (K, B, D_in), minval=-1.0, maxval=1.0)
+    if affine_identity:
+        A = jnp.broadcast_to(jnp.eye(D_out), (K, B, D_out, D_out))
+        c = jnp.zeros((K, B, D_out))
+    else:
+        A = jax.random.normal(kA, (K, B, D_out, D_out)) * 0.5
+        c = jax.random.normal(kc, (K, B, D_out)) * 0.1
+    tgt = jax.random.normal(kt, (K, B, D_out)) * 0.2
+    # weights include zeros (padded/invalid points) like the real fits
+    w = (jax.random.uniform(kw, (K, B)) > 0.25).astype(jnp.float32)
+    return cfg, params, (x, A, c, tgt, w)
+
+
+def leaves(params):
+    out = []
+    for W, b in params:
+        out += [np.asarray(W), np.asarray(b)]
+    return out
+
+
+@pytest.mark.parametrize("shape", [
+    # atol: Adam is sign-like while v is tiny (update ~ +-lr on the sign
+    # of g), so a last-ulp f32 reassociation difference in a near-zero
+    # gradient coordinate moves that parameter by O(lr) for a step; the
+    # 6-layer TG net hits this, the shallow nets stay at float noise.
+    dict(D_in=2, D_out=2, H=64, Lh=2, atol=2e-6),   # karman/jpipe family
+    dict(D_in=3, D_out=3, H=64, Lh=3, atol=2e-6),   # 3D family
+    dict(D_in=2, D_out=2, H=64, Lh=6, atol=1e-3),   # taylorgreen family
+])
+def test_fused_matches_reference(shape):
+    atol = shape.pop("atol")
+    cfg, params, pool = make_problem(jax.random.PRNGKey(0), **shape)
+    n_iters, lr = 25, 1e-3
+    p_ref, loss_ref = reference_adam_fit(params, cfg, pool, n_iters, lr)
+    p_fus, loss_fus = fused_adam_fit(params, cfg, pool, n_iters, lr)
+    for a, b in zip(leaves(p_fus), leaves(p_ref)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=atol)
+    np.testing.assert_allclose(float(loss_fus), float(loss_ref),
+                               rtol=1e-2, atol=1e-9)
+
+
+def test_fused_actually_trains():
+    """Loss must drop by a large factor on a realizable affine target."""
+    cfg, params, pool = make_problem(jax.random.PRNGKey(1),
+                                     affine_identity=True)
+    x, A, c, _, w = pool
+    # target realizable: a fixed random head on the same trunk
+    k = jax.random.PRNGKey(2)
+    true = init_siren(k, cfg)
+    from nmcfluid.models.siren import apply_siren
+    tgt = jax.vmap(lambda xb: apply_siren(true, cfg, xb))(x)
+    pool = (x, A, c, tgt, w)
+
+    def eval_loss(p):
+        u = jax.vmap(lambda xb: apply_siren(p, cfg, xb))(x)
+        se = jnp.sum((u - tgt) ** 2, axis=-1)
+        return float(jnp.sum(w * se) / jnp.sum(w))
+
+    before = eval_loss(params)
+    p_fus, _ = fused_adam_fit(params, cfg, pool, 400, 3e-4)
+    after = eval_loss(p_fus)
+    assert after < 0.25 * before
+
+
+def test_pool_cycling_order():
+    """Batch j = i % K: making batch 0 the only nonzero-weight batch must
+    give the same result as training on batch 0 alone with K=1 for
+    iteration counts that are multiples of K."""
+    cfg, params, pool = make_problem(jax.random.PRNGKey(3), K=2, B=128)
+    x, A, c, tgt, w = pool
+    w_masked = w.at[1].set(0.0)
+    # K=2 with batch 1 weightless vs K=1 on batch 0 only: every odd
+    # iteration in the first run is a zero-gradient Adam step, which
+    # still decays the moments — so instead check the fused run against
+    # the reference under the same masked pool (semantics, not algebra).
+    p_a, l_a = fused_adam_fit(params, cfg, (x, A, c, tgt, w_masked), 8, 1e-3)
+    p_b, l_b = reference_adam_fit(params, cfg, (x, A, c, tgt, w_masked),
+                                  8, 1e-3)
+    for a, b in zip(leaves(p_a), leaves(p_b)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_batch_tiling_is_invariant():
+    """Force multi-tile execution (T>1) by a large hidden width; results
+    must match the single-tile reference (grad accumulation across tiles
+    is exact up to f32 reassociation)."""
+    cfg, params, pool = make_problem(jax.random.PRNGKey(4), H=256, Lh=3,
+                                     K=2, B=2048)
+    # (Lh+5)*H*B*4 = 8*256*2048*4 = 16.8 MB > 10 MB budget -> Bt=1024, T=2
+    p_ref, _ = reference_adam_fit(params, cfg, pool, 10, 1e-3)
+    p_fus, _ = fused_adam_fit(params, cfg, pool, 10, 1e-3)
+    # cross-tile grad accumulation reassociates the batch sum; the few
+    # near-zero-gradient coordinates wander O(lr * ulp-sign-flips)
+    for a, b in zip(leaves(p_fus), leaves(p_ref)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-4)
