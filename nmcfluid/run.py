@@ -71,6 +71,16 @@ def build_parser():
                         "optimum is exact; 0 = off; default 8 passed "
                         "the round-3 TG gate at unchanged frame time, "
                         "see PARITY.md 'ls_head gate')")
+    p.add_argument("--fit_mode", default="xla", choices=["xla", "fused"],
+                   help="phase-fit executor: 'xla' = the while_loop Adam "
+                        "(reference semantics: a fresh minibatch per "
+                        "iteration), 'fused' = the whole fit in one "
+                        "Pallas kernel with params+moments in VMEM, "
+                        "cycling a --fit_pool-batch pool (see "
+                        "sim/fitkernel.py; falls back to xla under "
+                        "param_ema/fit_plateau/grad_clip/mesh)")
+    p.add_argument("--fit_pool", type=int, default=512,
+                   help="minibatch-pool size for --fit_mode fused")
     p.add_argument("--fit_unroll", type=int, default=4,
                    help="Adam iterations per while-loop trip in the phase "
                         "fits (results identical for any value; >1 "
@@ -183,6 +193,8 @@ def make_fluid(args):
                        fit_unroll=args.fit_unroll,
                        fit_plateau=args.fit_plateau,
                        ls_head=args.ls_head,
+                       fit_mode=args.fit_mode,
+                       fit_pool=args.fit_pool,
                        mesh=mesh)
 
 

@@ -182,7 +182,7 @@ def _kernel(cfg, n_iters, K, T,
         pw[1] = pw[1] * ADAM_B2
         bc1 = 1.0 - pw[0]
         bc2 = 1.0 - pw[1]
-        lr = lr_ref[0, 0]
+        lr = lr_ref[i, 0]
 
         def adam(p_ref, g_ref, m_ref, v_ref):
             g = g_ref[:]
@@ -205,13 +205,26 @@ def _kernel(cfg, n_iters, K, T,
             loss_out[0, 0] = loss_acc[0]
 
 
+# Mosaic's default scoped-VMEM (kernel stack) limit is 16 MB; the
+# unrolled forward+backward needs more for production shapes (measured:
+# the 6x64 TG net at Bt=2048 allocates 29.9 MB of stack — Mosaic does
+# not reuse slots across the unrolled layer temporaries). v5e VMEM is
+# 128 MB/core; give the kernel most of it and size tiles to fit.
+_VMEM_LIMIT = 100 * 2 ** 20
+_STACK_BUDGET = 48 * 2 ** 20
+
+
 def _pick_tile(B, H, Lh):
-    """Largest power-of-two micro-tile whose live activations fit VMEM
-    comfortably: zs is (Lh+2, H, Bt) f32 plus ~3 (H, Bt) temporaries."""
-    budget = 10 * 2 ** 20
+    """Largest power-of-two micro-tile whose kernel stack fits the
+    budget. Empirical stack model from the Mosaic OOM report: ~16 bytes
+    per (layer-ish) * H * point — (Lh+5)*H*Bt*16 was within 1.5x of the
+    measured 29.9 MB for (Lh=6, H=64, Bt=2048)."""
     bt = B
-    while bt > 512 and (Lh + 5) * H * bt * 4 > budget:
+    while bt > 512 and (Lh + 5) * H * bt * 16 > _STACK_BUDGET:
         bt //= 2
+    env = os.environ.get("NMCFLUID_FUSED_BT")
+    if env:
+        bt = min(B, int(env))
     while B % bt:
         bt //= 2
     return bt
@@ -230,7 +243,11 @@ def _fused_call(cfg, n_iters, interpret, pool, lr, params_in):
         memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i, t: (0,) * len(shape), memory_space=pltpu.VMEM)
-    smem_const = pl.BlockSpec((1, 1), lambda i, t: (0, 0),
+    # per-iteration learning rate (supports any schedule): the whole
+    # (n_iters, 1) array sits in SMEM (Mosaic requires sub-array blocks
+    # to be (8,128)-aligned even in SMEM, so no per-row blocking) and
+    # the kernel indexes row program_id(0) dynamically. 10k f32 = 40 KB.
+    smem_const = pl.BlockSpec(lr.shape, lambda i, t: (0, 0),
                               memory_space=pltpu.SMEM)
 
     out_shapes = [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params_in]
@@ -289,7 +306,8 @@ def _fused_call(cfg, n_iters, interpret, pool, lr, params_in):
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(lr, x, A, c, tgt, w,
       w_first, b_first, w_hid, b_hid, w_out, b_out)
     return outs[:6], outs[6][0, 0]
@@ -309,6 +327,8 @@ def fused_adam_fit(params, cfg, pool_xactw, n_iters, lr):
     pool_xactw: (x, A, c, target, w) with x (K, B, D_in), A (K, B, D, D),
         c/target (K, B, D), w (K, B) — the standard (batch, feature)
         layout; this wrapper transposes to the kernel's lane layout.
+    lr: scalar, or an (n_iters,) array of per-iteration learning rates
+        (any schedule).
     Returns (params, final_loss) with the same pytree structure.
     """
     x, A, c, tgt, w = pool_xactw
@@ -332,10 +352,11 @@ def fused_adam_fit(params, cfg, pool_xactw, n_iters, lr):
     w_out, b_out = params[-1]
     params_in = (w_first, b_first[:, None], w_hid, b_hid,
                  w_out, b_out[:, None])
+    lr_arr = jnp.broadcast_to(
+        jnp.asarray(lr, jnp.float32).reshape(-1, 1), (n_iters, 1))
     outs, loss = _fused_call(
         (Lh, D_in, D_out, H, K, B), n_iters, _want_interpret(),
-        (xT, AT, cT, tT, wT), jnp.full((1, 1), lr, jnp.float32),
-        params_in)
+        (xT, AT, cT, tT, wT), lr_arr, params_in)
     wf, bf, wh, bh, wo, bo = outs
     new = [(wf, bf[:, 0])]
     for l in range(Lh):
@@ -353,7 +374,9 @@ def reference_adam_fit(params, cfg, pool_xactw, n_iters, lr):
     x, A, c, tgt, w = pool_xactw
     K = x.shape[0]
     D_out = c.shape[-1]
-    opt = optax.adam(lr)
+    lr_arr = jnp.broadcast_to(
+        jnp.asarray(lr, jnp.float32).reshape(-1), (n_iters,))
+    opt = optax.adam(lambda count: lr_arr[jnp.minimum(count, n_iters - 1)])
 
     def loss_fn(p, j):
         raw = apply_siren(p, cfg, x[j])

@@ -76,6 +76,8 @@ class NeuralFluid:
                  fit_unroll: int = 4,
                  fit_plateau: int = 0,
                  ls_head: int = 8,
+                 fit_mode: str = "xla",
+                 fit_pool: int = 512,
                  mesh=None):
         """projection: 'wost' (the reference's Monte Carlo pressure solve)
         or 'spectral' (deterministic DCT grid solve on the divergence grid
@@ -155,6 +157,8 @@ class NeuralFluid:
         self.fit_unroll = fit_unroll
         self.fit_plateau = fit_plateau
         self.ls_head = ls_head
+        self.fit_mode = fit_mode
+        self.fit_pool = fit_pool
         self.mesh = mesh
         self.max_n_iters = max_n_iters or scene.max_n_iters
         self.sample_resolution = sample_resolution or scene.sample_resolution
@@ -386,6 +390,8 @@ def _adam_fit(fluid, params0, key, batch_fn):
     """The reference's _training_loop (base.py:129-152): Adam until the loss
     dips under early_stop_loss or max_n_iters, entirely on-device."""
     scene = fluid.scene
+    if fluid.fit_mode == "fused" and _fused_supported(fluid):
+        return _fused_fit(fluid, params0, key, batch_fn)
     if fluid.lr_schedule == "cosine":
         lr = optax.cosine_decay_schedule(scene.lr, fluid.max_n_iters,
                                          alpha=0.01)
@@ -495,6 +501,66 @@ def _adam_fit(fluid, params0, key, batch_fn):
     if fluid.ls_head > 0:
         out = _ls_head_solve(fluid, out, key, batch_fn)
     return out, FitStats(iters=i, loss=loss)
+
+
+def _fused_supported(fluid):
+    """Feature gate for the fused Pallas fit (sim/fitkernel.py).
+
+    Falls back to the XLA while_loop when a knob the kernel does not
+    implement is active: parameter EMA, plateau early-stop, gradient
+    clipping, or a device mesh (the fits are latency-bound at these
+    batch sizes — sharding a ~1 ms kernel buys nothing, and data-
+    parallel Adam would need a cross-device psum every iteration inside
+    the grid; the walk and pressure stages stay sharded)."""
+    return (fluid.param_ema == 0.0 and fluid.fit_plateau == 0
+            and fluid.grad_clip <= 0.0 and fluid.mesh is None
+            and fluid.siren_cfg.nonlinearity == "sine")
+
+
+def _fit_lr_array(fluid):
+    """Per-iteration learning rates replicating _adam_fit's schedules."""
+    scene = fluid.scene
+    n = fluid.max_n_iters
+    if fluid.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(scene.lr, n, alpha=0.01)
+    elif fluid.lr_schedule == "tail":
+        hold = int(n * 0.8)
+        sched = optax.join_schedules(
+            [optax.constant_schedule(scene.lr),
+             optax.cosine_decay_schedule(scene.lr, max(1, n - hold),
+                                         alpha=0.02)],
+            boundaries=[hold])
+    else:
+        return jnp.float32(scene.lr)
+    return jax.vmap(sched)(jnp.arange(n))
+
+
+def _fused_fit(fluid, params0, key, batch_fn):
+    """Phase fit via the fused Pallas kernel (sim/fitkernel.py): the
+    training data for any one phase is fixed (targets depend only on
+    frozen params / the frozen pressure cloud / the scene), so we
+    precompute a pool of K minibatches — (x, A, c, target, w) with
+    (A, c) the scene's affine hard-BC wrapper — in one vectorized XLA
+    pass and run every Adam iteration inside a single pallas_call,
+    cycling batch i % K. Gated on the TG error curve like every other
+    default (PARITY.md 'fused fit gate')."""
+    from .fitkernel import fused_adam_fit
+
+    K = fluid.fit_pool
+
+    def make(kb):
+        x, target, w = batch_fn.batch(kb)
+        A, c = batch_fn.affine(x)
+        return x, A, c, target, w
+
+    # keys disjoint from ls_head's fold_in(key, max_n_iters + 1 + j)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(K))
+    pool = jax.lax.map(make, keys, batch_size=min(16, K))
+    params, loss = fused_adam_fit(params0, fluid.siren_cfg, pool,
+                                  fluid.max_n_iters, _fit_lr_array(fluid))
+    if fluid.ls_head > 0:
+        params = _ls_head_solve(fluid, params, key, batch_fn)
+    return params, FitStats(iters=jnp.int32(fluid.max_n_iters), loss=loss)
 
 
 def _ls_head_solve(fluid, params, key, batch_fn):

@@ -117,3 +117,56 @@ def test_batch_tiling_is_invariant():
     # near-zero-gradient coordinates wander O(lr * ulp-sign-flips)
     for a, b in zip(leaves(p_fus), leaves(p_ref)):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-4)
+
+
+def test_lr_schedule_array_matches_reference():
+    """A decaying per-iteration lr array must flow through the kernel's
+    SMEM schedule path identically to the optax schedule."""
+    cfg, params, pool = make_problem(jax.random.PRNGKey(5))
+    n_iters = 12
+    lr = 1e-3 * (0.85 ** jnp.arange(n_iters, dtype=jnp.float32))
+    p_ref, _ = reference_adam_fit(params, cfg, pool, n_iters, lr)
+    p_fus, _ = fused_adam_fit(params, cfg, pool, n_iters, lr)
+    for a, b in zip(leaves(p_fus), leaves(p_ref)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+    # and the schedule is actually applied: constant-lr result differs
+    p_const, _ = fused_adam_fit(params, cfg, pool, n_iters, 1e-3)
+    diff = max(np.max(np.abs(a - b))
+               for a, b in zip(leaves(p_fus), leaves(p_const)))
+    assert diff > 1e-6
+
+
+def test_fused_mode_end_to_end_source_fit():
+    """--fit_mode fused through NeuralFluid: the source fit must reach an
+    eval loss comparable to the xla path at the same tiny budget."""
+    import dataclasses
+    from nmcfluid.scenes import get_scene
+    from nmcfluid.sim import NeuralFluid
+    from nmcfluid.sim import sampling
+    from nmcfluid.wost.solver import WalkSettings
+
+    losses = {}
+    for mode in ("xla", "fused"):
+        scene = get_scene("taylorgreen")
+        scene = dataclasses.replace(
+            scene, max_n_iters=300,
+            _boundary_builder=scene._boundary_builder,
+            _source_builder=scene._source_builder,
+            _obstacle_sdf_builder=scene._obstacle_sdf_builder)
+        fluid = NeuralFluid(scene, sample_resolution=16, wost_resolution=16,
+                            div_resolution=32, ls_head=0, fit_mode=mode,
+                            fit_pool=8,
+                            walk_settings=WalkSettings(n_walks=8,
+                                                       walk_step_cap=8))
+        state = fluid.init_state(seed=0)
+        state = fluid.add_source(state)
+        pts, valid = sampling.training_points(
+            jax.random.PRNGKey(7), fluid.n_batch, scene,
+            scene.sample_pattern, fluid.sample_resolution)
+        target = scene.source_velocity(pts, key=jax.random.PRNGKey(8))
+        u = fluid.velocity(state.params, pts, eps=state.eps, t=0)
+        w = valid.astype(jnp.float32)
+        losses[mode] = float(jnp.sum(w * jnp.sum((u - target) ** 2, -1))
+                             / jnp.maximum(jnp.sum(w), 1.0))
+    # pool-cycled fused vs fresh-batch xla: same ballpark, not identical
+    assert losses["fused"] < 3.0 * losses["xla"]
