@@ -15,13 +15,23 @@ import numpy as np
 
 import jax
 
-# Persistent compilation cache: the remote-compile service this image
-# tunnels through takes minutes for the walk program; cache executables
-# across processes so each program compiles once per machine.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/root/repo/.jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+def _enable_compile_cache():
+    """Persistent compilation cache: the remote-compile service this image
+    tunnels through takes minutes for the walk program; cache executables
+    across processes so each program compiles once per machine.
+
+    Keyed by platform (.jax_cache/{tpu,cpu}): XLA:CPU cache entries are
+    AOT executables specialized to the *compiling* host's CPU features —
+    loading one on a different host segfaults (observed: SIGILL-class
+    crash in backend_compile_and_load after the tunnel host changed), so
+    CPU and TPU executables must never share a namespace and the dir is
+    only configured after the platform is pinned."""
+    base = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(base, jax.default_backend()))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .scenes import get_scene, SCENES
 from .sim import NeuralFluid
@@ -361,6 +371,7 @@ def _code_revision():
 
 
 def main(argv=None):
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     scene = scene_with_overrides(args)
     exp = args.exp_name or args.scene

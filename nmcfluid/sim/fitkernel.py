@@ -182,7 +182,7 @@ def _kernel(cfg, n_iters, K, T,
         pw[1] = pw[1] * ADAM_B2
         bc1 = 1.0 - pw[0]
         bc2 = 1.0 - pw[1]
-        lr = lr_ref[i, 0]
+        lr = lr_ref[0, i]
 
         def adam(p_ref, g_ref, m_ref, v_ref):
             g = g_ref[:]
@@ -244,9 +244,11 @@ def _fused_call(cfg, n_iters, interpret, pool, lr, params_in):
     const = lambda shape: pl.BlockSpec(
         shape, lambda i, t: (0,) * len(shape), memory_space=pltpu.VMEM)
     # per-iteration learning rate (supports any schedule): the whole
-    # (n_iters, 1) array sits in SMEM (Mosaic requires sub-array blocks
-    # to be (8,128)-aligned even in SMEM, so no per-row blocking) and
-    # the kernel indexes row program_id(0) dynamically. 10k f32 = 40 KB.
+    # (1, n_iters) array sits in SMEM and the kernel indexes column
+    # program_id(0) dynamically. Iterations MUST ride the minor axis:
+    # Mosaic pads every SMEM row to 512 bytes, so an (n_iters, 1)
+    # layout would want n_iters*512 bytes of SMEM (5 MB at 10k iters,
+    # vs the 1 MB core limit); (1, n_iters) is one 40 KB row.
     smem_const = pl.BlockSpec(lr.shape, lambda i, t: (0, 0),
                               memory_space=pltpu.SMEM)
 
@@ -353,7 +355,7 @@ def fused_adam_fit(params, cfg, pool_xactw, n_iters, lr):
     params_in = (w_first, b_first[:, None], w_hid, b_hid,
                  w_out, b_out[:, None])
     lr_arr = jnp.broadcast_to(
-        jnp.asarray(lr, jnp.float32).reshape(-1, 1), (n_iters, 1))
+        jnp.asarray(lr, jnp.float32).reshape(1, -1), (1, n_iters))
     outs, loss = _fused_call(
         (Lh, D_in, D_out, H, K, B), n_iters, _want_interpret(),
         (xT, AT, cT, tT, wT), lr_arr, params_in)

@@ -131,6 +131,24 @@ def main():
         loop(b_full, (params, opt_state, 0.0)),
         (params, opt_state, jnp.float32(0)))
 
+    # 6. the fused Pallas kernel (sim/fitkernel.py): the whole fit in one
+    #    pallas_call, identity affine wrapper, K-batch pool — the per-iter
+    #    number to compare against vg_plus_adam / full_advect_iter
+    if scene.nonlinearity == "sine" and jax.devices()[0].platform == "tpu":
+        from nmcfluid.sim.fitkernel import fused_adam_fit
+        K = 8
+        kp = jax.random.split(key, K)
+        xs = jax.vmap(lambda k: sampling.random_points(
+            k, n, scene.scene_size))(kp)
+        A = jnp.broadcast_to(jnp.eye(scene.dim), (K, n, scene.dim,
+                                                  scene.dim))
+        c = jnp.zeros((K, n, scene.dim))
+        tgt = jnp.zeros((K, n, scene.dim))
+        w = jnp.ones((K, n))
+        fit = jax.jit(lambda p: fused_adam_fit(
+            p, cfg, (xs, A, c, tgt, w), iters, scene.lr))
+        results["fused_kernel_iter"] = _timed(fit, params)
+
     out = {k: round(1e3 * v / iters, 4) for k, v in results.items()}
     out.update(scene=args.scene, n_batch=n, iters=iters,
                layers=f"{cfg.num_hidden_layers}x{cfg.hidden_features}",
