@@ -81,14 +81,16 @@ def build_parser():
                         "optimum is exact; 0 = off; default 8 passed "
                         "the round-3 TG gate at unchanged frame time, "
                         "see PARITY.md 'ls_head gate')")
-    p.add_argument("--fit_mode", default="xla", choices=["xla", "fused"],
+    p.add_argument("--fit_mode", default="auto",
+                   choices=["auto", "xla", "fused"],
                    help="phase-fit executor: 'xla' = the while_loop Adam "
                         "(reference semantics: a fresh minibatch per "
                         "iteration), 'fused' = the whole fit in one "
                         "Pallas kernel with params+moments in VMEM, "
                         "cycling a --fit_pool-batch pool (see "
                         "sim/fitkernel.py; falls back to xla under "
-                        "param_ema/fit_plateau/grad_clip/mesh)")
+                        "param_ema/fit_plateau/grad_clip/mesh); "
+                        "'auto' (default) = fused on TPU, xla on CPU")
     p.add_argument("--fit_pool", type=int, default=512,
                    help="minibatch-pool size for --fit_mode fused")
     p.add_argument("--fit_unroll", type=int, default=4,

@@ -76,7 +76,7 @@ class NeuralFluid:
                  fit_unroll: int = 4,
                  fit_plateau: int = 0,
                  ls_head: int = 8,
-                 fit_mode: str = "xla",
+                 fit_mode: str = "auto",
                  fit_pool: int = 512,
                  mesh=None):
         """projection: 'wost' (the reference's Monte Carlo pressure solve)
@@ -157,6 +157,14 @@ class NeuralFluid:
         self.fit_unroll = fit_unroll
         self.fit_plateau = fit_plateau
         self.ls_head = ls_head
+        # 'auto' resolves per backend: the fused Pallas fit on real TPU
+        # hardware (gated on the TG error curve under both bem and wost,
+        # PARITY.md 'fused-fit gate'), the XLA while_loop elsewhere (on
+        # CPU the kernel would run in Pallas interpret mode — a test
+        # vehicle, ~1000x slower than the XLA path).
+        if fit_mode == "auto":
+            fit_mode = ("fused" if jax.default_backend() not in ("cpu",)
+                        else "xla")
         self.fit_mode = fit_mode
         self.fit_pool = fit_pool
         self.mesh = mesh

@@ -170,3 +170,15 @@ def test_fused_mode_end_to_end_source_fit():
                              / jnp.maximum(jnp.sum(w), 1.0))
     # pool-cycled fused vs fresh-batch xla: same ballpark, not identical
     assert losses["fused"] < 3.0 * losses["xla"]
+
+
+def test_fit_mode_auto_resolves_per_backend():
+    """'auto' (the default) must pick the XLA path on CPU — the fused
+    kernel only runs in interpret mode there — and the fused kernel on
+    any accelerator backend."""
+    from nmcfluid.scenes import get_scene
+    from nmcfluid.sim import NeuralFluid
+
+    fluid = NeuralFluid(get_scene("taylorgreen"))
+    expect = "xla" if jax.default_backend() == "cpu" else "fused"
+    assert fluid.fit_mode == expect
