@@ -27,10 +27,10 @@ NMCFLUID_BENCH_PROJECTION, NMCFLUID_BENCH_PLATEAU, NMCFLUID_BENCH_UNROLL
 value, see _adam_fit), NMCFLUID_BENCH_DETAIL (where to write the detail
 JSON; default bench_detail.json).
 
-The headline line stays the reference-parity MC (wost) frame; on 2D scenes
-the same invocation also times the flagship deterministic mode (bem) and
-records it under bench_detail.json["flagship"] (disable with
-NMCFLUID_BENCH_FLAGSHIP=0). fit_plateau remains off everywhere: the round-3
+The headline line stays the reference-parity MC (wost) frame; the same
+invocation also times the flagship deterministic mode (bem in 2D,
+spectral in 3D) and records it under bench_detail.json["flagship"]
+(disable with NMCFLUID_BENCH_FLAGSHIP=0). fit_plateau remains off everywhere: the round-3
 TG gate measured 7.8e-4 / 6.3e-4 error at plateau 500 / 1000 vs the
 published 4.142e-4 — the windowed-relative stop cannot hold the floor.
 """
@@ -148,17 +148,22 @@ def main():
     vs = (baseline / sec) if baseline else 1.0
 
     # flagship frame (VERDICT r2 #1: report the parity wost frame AND the
-    # best deterministic mode in one capture). 2D scenes only — bem is a
-    # 2D projection; plateau stays off (killed by the r3 TG error gate).
+    # best deterministic mode in one capture): bem in 2D, spectral in 3D
+    # (the 3D scenes keep obstacles out of the WoSt boundary, so the DCT
+    # box solve is exact — README per-scene defaults table). plateau
+    # stays off (killed by the r3 TG error gate).
     flagship = None
-    if (scene.dim == 2 and projection == "wost"
+    flag_proj = "bem" if scene.dim == 2 else "spectral"
+    if (projection == "wost"
             and os.environ.get("NMCFLUID_BENCH_FLAGSHIP") != "0"):
         fl2 = NeuralFluid(
-            scene, projection="bem",
+            scene, projection=flag_proj,
             max_n_iters=int(iters) if iters else scene.max_n_iters,
             sample_resolution=max(8, scene.sample_resolution // scale),
             wost_resolution=max(8, scene.wost_resolution // scale),
-            div_resolution=None if scale == 1 else max(32, 1000 // scale),
+            div_resolution=None if scale == 1 else max(
+                32,
+                (1000 if scene.dim == 2 else scene.vis_resolution) // scale),
             walk_settings=scene.walk_settings(
                 n_walks=max(8, scene.n_walks // scale)))
         st2 = fl2.add_source(fl2.init_state(0))
@@ -170,7 +175,7 @@ def main():
         st2 = fl2.step(st2)
         jax.block_until_ready(st2.params)
         fsec = time.time() - t0
-        flagship = {"projection": "bem", "timed_step_s": round(fsec, 3),
+        flagship = {"projection": flag_proj, "timed_step_s": round(fsec, 3),
                     "vs_baseline": round(baseline / fsec, 3)
                     if baseline else None}
 
