@@ -45,17 +45,11 @@ def main():
         # the axon sitecustomize sets jax_platforms="axon,cpu" at
         # interpreter start, overriding the env var; re-pin after import
         jax.config.update("jax_platforms", "cpu")
-    # per-platform cache namespace: XLA:CPU entries are host-specialized
-    # AOT executables that segfault when loaded on a different host (see
-    # nmcfluid/run.py:_enable_compile_cache)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         os.path.join(
-                                             os.path.dirname(__file__),
-                                             ".jax_cache")),
-                          jax.default_backend()))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # per-platform + host-fingerprint cache namespace: XLA:CPU entries are
+    # host-specialized AOT executables that segfault when loaded on a
+    # different host (see nmcfluid/run.py:_enable_compile_cache)
+    from nmcfluid.run import _enable_compile_cache
+    _enable_compile_cache()
     from nmcfluid.scenes import get_scene
     from nmcfluid.sim import NeuralFluid
     from nmcfluid.wost.solver import WalkSettings

@@ -26,12 +26,40 @@ def _enable_compile_cache():
     loading one on a different host segfaults (observed: SIGILL-class
     crash in backend_compile_and_load after the tunnel host changed), so
     CPU and TPU executables must never share a namespace and the dir is
-    only configured after the platform is pinned."""
+    only configured after the platform is pinned.
+
+    The CPU namespace is additionally keyed by a host-CPU-feature
+    fingerprint: the per-platform split protects cpu-vs-tpu confusion
+    but not host-A-vs-host-B — this container migrates between machines
+    with different ISA extensions, and cpu_aot_loader then warns
+    'Target machine feature +prefer-no-gather is not supported on the
+    host machine ... could lead to execution errors such as SIGILL'
+    before potentially crashing. TPU executables target the accelerator,
+    not the host, and are safe to share."""
     base = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(base, jax.default_backend()))
+    sub = jax.default_backend()
+    if sub == "cpu":
+        sub = f"cpu-{_host_fingerprint()}"
+    jax.config.update("jax_compilation_cache_dir", os.path.join(base, sub))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _host_fingerprint():
+    """Short stable hash of this host's CPU feature flags."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(
+        (platform.machine() + platform.processor()).encode()
+    ).hexdigest()[:10]
 
 from .scenes import get_scene, SCENES
 from .sim import NeuralFluid
