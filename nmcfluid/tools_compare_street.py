@@ -67,10 +67,20 @@ def street_metrics(series, dt, diameter, u_inflow, onset_rel=0.35):
     thresh = onset_rel * developed
     onset = None
     above = amp > thresh
-    for t in range(n - 10):
-        if above[t:t + 10].all():
-            onset = t
-            break
+    # onset = start of the FINAL above-run, the one that reaches the end
+    # of the series. Identical to the first sustained crossing when the
+    # street develops monotonically, but robust to an oscillatory startup
+    # transient that crosses the threshold and dies back down (observed
+    # on the bem-mode karman run: the initial shear-layer roll-up rings
+    # the probe for ~20 frames, the wake then quiets to ~0.1x the
+    # developed amplitude before the true street grows from ~t=110 —
+    # the old first-crossing rule latched onto the transient at t=2).
+    valid = n - osc_win        # amp[t] uses hp[t:t+osc_win]; beyond this
+    if valid > 10 and above[valid - 10:valid].all():  # the window shrinks
+        t = valid - 10
+        while t > 0 and above[t - 1]:
+            t -= 1
+        onset = t
     # reject "onset" when there is no developed oscillation at all
     # (quiet run: the tail level is numerical noise)
     if developed < 1e-4 * max(np.abs(w).max(), 1e-12):
@@ -82,9 +92,21 @@ def street_metrics(series, dt, diameter, u_inflow, onset_rel=0.35):
     spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
     freqs = np.fft.rfftfreq(len(tail), d=dt)
     k = 1 + int(np.argmax(spec[1:]))          # skip DC
+    # parabolic interpolation of the log-magnitude peak: the raw bin
+    # spacing is 1/(len(tail)*dt) — ~0.2 Hz for a 100-frame tail, i.e.
+    # St quantized at ~0.036 — while the street frequency is stable to
+    # ~1%; the three-point fit recovers the sub-bin position.
+    f = freqs[k]
+    if 1 <= k < len(spec) - 1 and spec[k] > 0:
+        a, b, c = (np.log(max(spec[k - 1], 1e-300)),
+                   np.log(spec[k]),
+                   np.log(max(spec[k + 1], 1e-300)))
+        denom = a - 2 * b + c
+        if denom < 0:
+            f = freqs[k] + 0.5 * (a - c) / denom * (freqs[1] - freqs[0])
     return {"onset_frame": onset,
-            "freq_hz": float(freqs[k]),
-            "strouhal": float(freqs[k] * diameter / u_inflow)}
+            "freq_hz": float(f),
+            "strouhal": float(f * diameter / u_inflow)}
 
 
 def main(argv=None):

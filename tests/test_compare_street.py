@@ -39,6 +39,29 @@ def test_metrics_ignore_startup_transient_and_wake_offset():
     assert abs(m["strouhal"] - f0 * d / u) < 0.03
 
 
+def test_metrics_ignore_oscillatory_startup_transient():
+    """Shape of the real bem-mode karman probe series (round 3): the
+    startup shear-layer roll-up RINGS the probe for ~20 frames (an
+    oscillation, so detrending cannot remove it), the wake then quiets
+    to ~0.1x the developed amplitude, and the true street grows from
+    late in the run. The first-sustained-crossing rule latched onto the
+    transient (onset=2, street-frequency estimate contaminated); the
+    final-above-run rule must land on the true onset."""
+    dt, d, u = 0.05, 0.089, 0.5
+    t = np.arange(200) * dt
+    f0 = 0.6
+    ring = (np.exp(-0.5 * ((t - 0.3) / 0.25) ** 2)
+            * np.sin(2 * np.pi * 2.2 * t))              # transient ring
+    env = np.clip((t - 5.5) / 1.5, 0.0, 1.0) * 1.5      # street from ~5.5
+    w = ring + 0.15 * np.sin(2 * np.pi * f0 * t) * (t > 2.0) \
+        + env * np.sin(2 * np.pi * f0 * t)
+    m = street_metrics(w, dt, d, u)
+    assert m["onset_frame"] is not None
+    assert abs(m["onset_frame"] * dt - 5.5) < 1.5
+    assert abs(m["freq_hz"] - f0) < 0.1
+    assert abs(m["strouhal"] - f0 * d / u) < 0.02
+
+
 def test_metrics_on_quiet_signal():
     rng = np.random.default_rng(0)
     w = 1e-6 * rng.normal(size=100)
