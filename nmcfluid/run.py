@@ -36,6 +36,13 @@ def _enable_compile_cache():
     host machine ... could lead to execution errors such as SIGILL'
     before potentially crashing. TPU executables target the accelerator,
     not the host, and are safe to share."""
+    if os.environ.get("NMCFLUID_NO_COMPILE_CACHE") == "1":
+        # tests set this (tests/conftest.py): an e2e test calling main()
+        # would otherwise flip the cache on for the whole pytest process,
+        # and XLA:CPU AOT cache load/store has segfaulted the suite
+        # (entries written by a differently-configured CPU client; see
+        # the host-fingerprint note below for the cross-host variant)
+        return
     base = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
     sub = jax.default_backend()

@@ -13,6 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Hermetic suite: never let an e2e test (run.main) enable the persistent
+# compile cache process-wide — XLA:CPU AOT cache load has segfaulted the
+# suite when entries were written by a differently-configured or
+# different-host CPU client (run.py:_enable_compile_cache honors this).
+os.environ["NMCFLUID_NO_COMPILE_CACHE"] = "1"
 
 import jax  # noqa: E402
 
