@@ -20,5 +20,22 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ["NMCFLUID_NO_COMPILE_CACHE"] = "1"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables_between_modules():
+    """Free jitted executables after each test module.
+
+    The full suite compiles thousands of XLA:CPU programs; keeping every
+    executable alive for the whole run segfaults LLVM's JIT memory
+    manager deterministically ~85% in (inside backend_compile_and_load,
+    compiling a trivial slice op — tests/test_spectral.py passes in
+    isolation and crashes only after the preceding modules' compilations
+    accumulate). Dropping the caches per module keeps the live-code
+    footprint bounded; cross-module recompiles are minor since modules
+    rarely share jit signatures."""
+    yield
+    jax.clear_caches()
