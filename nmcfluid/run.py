@@ -133,14 +133,17 @@ def build_parser():
                         "fits (results identical for any value; >1 "
                         "amortizes fixed per-op loop cost on TPU)")
     p.add_argument("--projection", default="wost",
-                   choices=["wost", "spectral", "bem"],
+                   choices=["wost", "spectral", "bem", "bvc"],
                    help="MC walk-on-stars (reference), 'spectral' "
                         "(deterministic DCT grid solve + Bessel-K modal "
                         "obstacle correction; exact on box and "
                         "circle-obstacle scenes, unsupported on jpipe), "
-                        "or 'bem' (deterministic FFT volume potential + "
+                        "'bem' (deterministic FFT volume potential + "
                         "Nystrom boundary solve; any 2D scene incl. "
-                        "jpipe)")
+                        "jpipe), or 'bvc' (zombie's boundary value "
+                        "caching productionized: WoSt walks only at the "
+                        "small boundary cache + the bem splat — the MC "
+                        "estimator family at a fraction of the walk)")
     # scene-hyperparameter overrides (config.py:87-156 argparse surface)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--dt", type=float, default=None)

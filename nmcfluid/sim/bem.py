@@ -247,7 +247,8 @@ class BemProjector:
     the B^3 factorization is the one expensive one-time step."""
 
     def __init__(self, scene, div_resolution, n_boundary=None,
-                 eval_chunk=8192, r_max=None, cache_dir=None):
+                 eval_chunk=8192, r_max=None, cache_dir=None,
+                 nystrom=True):
         if scene.dim != 2:
             raise ValueError("--projection bem is 2D-only (3D scenes are "
                              "box-exact under --projection spectral)")
@@ -320,8 +321,11 @@ class BemProjector:
                     + tx * ty * grid[i0 + 1, j0 + 1])
 
         Vc_cache = host_bilerp(Vc, pts)
+        # the BVC subclass estimates the cache values by Monte Carlo and
+        # never needs the (B, B) Nystrom inverse
         A_inv = self._load_or_build_A(scene, pts, nrm, w, Vc_cache,
-                                      div_resolution, cache_dir)
+                                      div_resolution, cache_dir) \
+            if nystrom else None
         # device-side constants (downcast on the HOST: the TPU runtime has
         # no f64/c128 convert_element_type; it also cannot device_put
         # complex arrays AT ALL — device-side complex from the FFT ops is
@@ -341,7 +345,8 @@ class BemProjector:
         self.cache_pts = jnp.asarray(pts.astype(np.float32))
         self.cache_n = jnp.asarray(nrm.astype(np.float32))
         self.cache_w = jnp.asarray(w.astype(np.float32))
-        self.A_inv = jnp.asarray(np.asarray(A_inv, np.float32))
+        self.A_inv = (jnp.asarray(np.asarray(A_inv, np.float32))
+                      if A_inv is not None else None)
 
     def _load_or_build_A(self, scene, pts, nrm, w, Vc_cache,
                          div_resolution, cache_dir):
@@ -379,8 +384,8 @@ class BemProjector:
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _bem_solve(bp: BemProjector, div_grid, pts):
-    ss = bp.scene.scene_size
+def _volume_potentials(bp: BemProjector, div_grid):
+    """FFT volume potential V_f and its gradient on the vertex lattice."""
     Rx, Ry = bp.res
     Nx, Ny = bp.fft_shape
     f = (div_grid * bp.chi).astype(jnp.float32)
@@ -391,10 +396,23 @@ def _bem_solve(bp: BemProjector, div_grid, pts):
     V = jnp.fft.irfft2(F * KGf, s=(Nx, Ny))[:Rx + 1, :Ry + 1]
     Gx = jnp.fft.irfft2(F * KXf, s=(Nx, Ny))[:Rx + 1, :Ry + 1]
     Gy = jnp.fft.irfft2(F * KYf, s=(Nx, Ny))[:Rx + 1, :Ry + 1]
+    return V, Gx, Gy
 
+
+@partial(jax.jit, static_argnums=(0,))
+def _bem_solve(bp: BemProjector, div_grid, pts):
+    ss = bp.scene.scene_size
+    V, Gx, Gy = _volume_potentials(bp, div_grid)
     rhs = _vertex_bilerp(V, ss, bp.cache_pts)
     u_gamma = bp.A_inv @ rhs                                  # (B,)
+    return _splat(bp, u_gamma, V, Gx, Gy, pts)
 
+
+@partial(jax.jit, static_argnums=(0,))
+def _splat(bp: BemProjector, u_gamma, V, Gx, Gy, pts):
+    """Evaluate u = V_f + P-kernel splat of the cache boundary values
+    (with the constant-shift near-boundary correction) at pts."""
+    ss = bp.scene.scene_size
     E = pts.shape[0]
     C = min(bp.eval_chunk, E)
     n_chunk = -(-E // C)
@@ -430,3 +448,59 @@ def _bem_solve(bp: BemProjector, div_grid, pts):
 
     u, g = jax.lax.map(chunk, pts_p.reshape(n_chunk, C, 2))
     return u.reshape(-1)[:E], g.reshape(-1, 2)[:E]
+
+
+# ---------------------------------------------------------- MC-cached (BVC)
+
+class BvcProjector(BemProjector):
+    """Monte Carlo boundary value caching as a production projection mode.
+
+    This is zombie's N11 estimator run the way it was designed to be used
+    (boundary_sampler.h + splatter.h, exposed as `bvc` in demo.cpp:265-363
+    but never wired into the reference's fluid loop): WoSt-estimate the
+    solution once at a small boundary cache, then evaluate the whole
+    pressure cloud by splatting the cache through the free-space kernels.
+    The du/dn cache term is identically zero for the fluid's pure-Neumann
+    projection (boundary_sampler.h:190-196), so only the solution cache is
+    walked.
+
+    Differences from the reference's bvc, both shared with BemProjector:
+    the volume term is the exact FFT free-space potential of the
+    divergence grid instead of a Monte Carlo domain-sample splat
+    (deterministic, alias-free), and the cache is equispaced-by-arclength
+    quadrature instead of uniform-random samples. The splat itself (P
+    kernels + constant-shift near-boundary correction) is byte-identical
+    to the BEM path (`_splat`).
+
+    Cost: one pool-executor walk batch at B cache points (B ~ 4-8k vs the
+    wost mode's 262k pressure points — a ~32x smaller walk) + the FFTs +
+    one (E, B) kernel contraction. Variance: the P kernel decays like
+    e^{-sqrt(sigma) r}, so MC noise is confined to a ~1/sqrt(sigma) skin
+    at the boundary; in the bulk the estimate equals the deterministic
+    volume potential.
+
+    The cache solution is estimated at points offset 2 epsilon inward
+    (the lockstep analog of the reference's boundary-limit alpha = 2
+    convention, wost/bvc.py build_cache); the O(offset) bias term is
+    proportional to du/dn = 0, leaving O(offset^2)."""
+
+    def __init__(self, scene, div_resolution, wost_scene, walk_settings,
+                 n_walks=None, n_boundary=None, offset=None, **kw):
+        super().__init__(scene, div_resolution, n_boundary=n_boundary,
+                         nystrom=False, **kw)
+        self.wost_scene = wost_scene
+        self.walk_settings = walk_settings
+        self.n_walks = n_walks
+        off = offset if offset is not None \
+            else 2.0 * walk_settings.epsilon_shell
+        self.inner_pts = self.cache_pts - off * self.cache_n
+
+    def solve(self, div_grid, pts, key):
+        """p, grad_p at pts (E, 2). NOT jittable as a whole: the walk
+        estimator host-loops over launches (wost/solver.py)."""
+        from ..wost.solver import estimate_solution_and_gradient
+        V, Gx, Gy = _volume_potentials(self, div_grid)
+        u_gamma, _, _ = estimate_solution_and_gradient(
+            self.wost_scene, self.walk_settings, self.inner_pts, key,
+            n_walks=self.n_walks, source_args=(div_grid,))
+        return _splat(self, u_gamma, V, Gx, Gy, pts)

@@ -146,11 +146,13 @@ class NeuralFluid:
                 f"--projection spectral is unsupported on '{scene.name}': "
                 "its obstacle is not a circle (use the bem or wost "
                 "projection)")
-        if projection == "bem" and scene.dim != 2:
+        if projection in ("bem", "bvc") and scene.dim != 2:
             raise ValueError(
-                "--projection bem is 2D-only (the 3D scenes' WoSt domain "
-                "is the plain cube, where spectral is already exact)")
+                f"--projection {projection} is 2D-only (the 3D scenes' "
+                "WoSt domain is the plain cube, where spectral is already "
+                "exact)")
         self._bem = None        # lazy BemProjector (host precompute)
+        self._bvc = None        # lazy BvcProjector (MC-cached splat)
         self.lr_schedule = lr_schedule
         self.param_ema = param_ema
         self.grad_clip = grad_clip
@@ -357,6 +359,15 @@ class NeuralFluid:
                 self._bem = BemProjector(self.scene, self.div_resolution)
             pts, valid, p, grad_p = self._timed(
                 "bem_solve", _pressure_solve_bem, self, self._bem,
+                div_grid, k_wost)
+        elif self.projection == "bvc":
+            if self._bvc is None:
+                from .bem import BvcProjector
+                self._bvc = BvcProjector(
+                    self.scene, self.div_resolution, self._wost_scene,
+                    self.walk_settings)
+            pts, valid, p, grad_p = self._timed(
+                "bvc_solve", _pressure_solve_bvc, self, self._bvc,
                 div_grid, k_wost)
         else:
             chunks = [self._timed(
@@ -803,6 +814,19 @@ def _pressure_solve_bem(fluid, bp, div_grid, key):
     pts, valid = sampling.fluid_points(key, fluid.n_pressure, fluid.scene)
     pts = fluid.shard_pts(pts)
     p, grad_p = bp.solve(div_grid, pts)
+    return (pts, valid) + _mask_pressure(fluid, pts, valid, p, grad_p)
+
+
+def _pressure_solve_bvc(fluid, bp, div_grid, key):
+    """Monte Carlo boundary-value-caching projection (sim/bem.py
+    BvcProjector — zombie's N11 estimator productionized): walk only at
+    the small boundary cache, splat deterministically to the pressure
+    cloud. Same cloud and masking as the other modes. NOT jitted as a
+    whole: the walk estimator host-loops over launches."""
+    k1, k2 = jax.random.split(key)
+    pts, valid = sampling.fluid_points(k1, fluid.n_pressure, fluid.scene)
+    pts = fluid.shard_pts(pts)
+    p, grad_p = bp.solve(div_grid, pts, k2)
     return (pts, valid) + _mask_pressure(fluid, pts, valid, p, grad_p)
 
 
