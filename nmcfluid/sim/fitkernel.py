@@ -67,20 +67,80 @@ ADAM_B2 = 0.999
 ADAM_EPS = 1e-8
 
 
-# Mosaic only lowers DEFAULT and HIGHEST dot precisions; map the
-# session's HIGH (3-pass emulation) to HIGHEST (6-pass) in-kernel. The
-# fused fit is bandwidth/VPU-bound, not MXU-bound (the matmul math is
-# ~10 us/iter at these widths), so the extra passes are noise — and
-# strictly more accurate than the XLA path the error gates validated.
+# Mosaic only lowers DEFAULT and HIGHEST dot precisions, so the
+# session's HIGH (3-pass bf16 emulation) has no direct in-kernel
+# spelling. Round 3 mapped HIGH -> HIGHEST (6-pass); round-4 A/B on the
+# TG shapes measured the pass count at ~28% of the iteration
+# (HIGHEST 0.1114 ms/iter vs DEFAULT 0.0799), so the compiled path now
+# emulates bf16_3x BY HAND: split each operand into bf16 hi + lo parts
+# and issue three DEFAULT-precision (single-pass) dots,
+# hi@hi + hi@lo + lo@hi — the same decomposition XLA's HIGH uses, at
+# half the passes of HIGHEST. The dropped lo@lo term is O(2^-32)
+# relative, below f32 rounding. Interpret mode (the CPU test vehicle)
+# keeps HIGHEST = plain f32 dots, preserving the tight exactness
+# comparison in tests/test_fitkernel.py; accuracy of the 3-pass path is
+# held by test_dot3_matches_f32 plus the TG error gate on hardware.
 _KERNEL_PRECISION = (jax.lax.Precision.DEFAULT
                      if _PRECISION == jax.lax.Precision.DEFAULT
                      else jax.lax.Precision.HIGHEST)
+_WANT_3PASS = _PRECISION == jax.lax.Precision.HIGH
 
 
-def _dot(a, b, dims):
+def _dot1(a, b, dims, precision):
     return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
-                               precision=_KERNEL_PRECISION,
+                               precision=precision,
                                preferred_element_type=jnp.float32)
+
+
+def _dot3(a, b, dims):
+    """bf16_3x emulation: three single-pass MXU dots (see note above)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda x, y: _dot1(x, y, dims, jax.lax.Precision.DEFAULT)
+    return (d(a_hi, b_lo) + d(a_lo, b_hi)) + d(a_hi, b_hi)
+
+
+# ---- polynomial sincos ----------------------------------------------
+# Round-4 profile of the 3-pass kernel on the TG shapes: the Mosaic
+# sin+cos pair costs 53 us of the 95 us iteration (measured by swapping
+# in 2-op shims: 0.095 -> 0.0415 ms/iter). A shared Cody-Waite range
+# reduction + two odd/even minimax polynomials on [-pi, pi] evaluates
+# BOTH functions in ~17 VPU ops/element vs ~28 for the builtin pair.
+# Max abs error 9.6e-8 (sin) / 1.1e-8 (cos) on [-pi, pi] — f32 rounding
+# level, and the phase error of the two-constant reduction stays
+# ~|t| * 2^-30 (SIREN preactivations omega*z sit in |t| < ~10^2, where
+# that is < 1e-7). Gated end-to-end on the TG error curve like every
+# kernel numeric (PARITY.md round-4).
+_SIN_COEF = (0.9999995999016404, -0.16666552631100937,
+             0.008332402961144127, -0.0001980863262476326,
+             2.6997138290164806e-06, -2.0362212124871227e-08)
+_COS_COEF = (0.9999999890437516, -0.4999998910242006,
+             0.04166648921512116, -0.00138878035706964,
+             2.476988290164933e-05, -2.707902426996817e-07,
+             1.7245068100119095e-09)
+_INV_2PI = 0.15915493667125702
+_PI2_HI = 6.28125            # 2*pi = HI + LO, HI exact in 9 bits
+_PI2_LO = 1.9353071795864770e-03
+
+
+def _sincos_poly(t):
+    """sin(t), cos(t) with one shared range reduction (see note above).
+    Both are stored by the forward pass so the backward runs
+    transcendental-free (the round-3 kernel recomputed sin(omega z) and
+    cos(omega z) in backward). Compiled-mode only — interpret mode keeps
+    the builtin pair (see _kernel)."""
+    k = jnp.round(t * _INV_2PI)
+    r = (t - k * _PI2_HI) - k * _PI2_LO          # in [-pi, pi]
+    r2 = r * r
+    s = _SIN_COEF[-1]
+    for a in _SIN_COEF[-2::-1]:
+        s = s * r2 + a
+    c = _COS_COEF[-1]
+    for a in _COS_COEF[-2::-1]:
+        c = c * r2 + a
+    return r * s, c
 
 
 def _kernel(cfg, n_iters, K, T,
@@ -91,14 +151,24 @@ def _kernel(cfg, n_iters, K, T,
             # --- outputs (refs) ---
             w_first, b_first, w_hid, b_hid, w_out, b_out, loss_out,
             # --- scratch ---
-            zs, m_refs_and_v_refs_and_accs):
+            hs, cs, m_refs_and_v_refs_and_accs):
     """One grid step = one micro-tile of one Adam iteration.
 
     Grid is (n_iters, T) with T batch micro-tiles; tile grads accumulate
     in scratch and the Adam update runs on the last tile, so the next
     iteration's forward (a later sequential grid step) sees the new
     params."""
-    Lh, D_in, D_out = cfg
+    Lh, D_in, D_out, compiled = cfg
+    # compiled (hardware) kernels take the fast numerics: 3-pass bf16
+    # dots and the polynomial sincos. Interpret mode — the CPU test
+    # vehicle — keeps f32 dots and the builtin sin/cos so the optax
+    # oracle comparison stays tight (tests/test_fitkernel.py); the
+    # compiled numerics are held by test_dot3_matches_f32 /
+    # test_sincos_poly_accuracy and the TG error gate on hardware.
+    _dot = _dot3 if (compiled and _WANT_3PASS) else (
+        lambda a, b, dims: _dot1(a, b, dims, _KERNEL_PRECISION))
+    _sincos = _sincos_poly if compiled else (
+        lambda t: (jnp.sin(t), jnp.cos(t)))
     i = pl.program_id(0)
     tile = pl.program_id(1)
     (m_first, v_first, mb_first, vb_first,
@@ -130,12 +200,14 @@ def _kernel(cfg, n_iters, K, T,
     # ---------------- forward (transposed: activations are (feat, Bt))
     x = x_ref[0, :D_in, :]                                   # (D_in, Bt)
     z = _dot(w_first[:], x, ((0,), (0,))) + b_first[:]       # (H, Bt)
-    zs[0] = z
-    h = jnp.sin(OMEGA_0 * z)
+    h, co = _sincos(OMEGA_0 * z)
+    hs[0] = h
+    cs[0] = co
     for l in range(Lh):
         z = _dot(w_hid[l], h, ((0,), (0,))) + b_hid[l]
-        zs[l + 1] = z
-        h = jnp.sin(OMEGA_0 * z)
+        h, co = _sincos(OMEGA_0 * z)
+        hs[l + 1] = h
+        cs[l + 1] = co
     raw = _dot(w_out[:], h, ((0,), (0,))) + b_out[:]         # (D_out, Bt)
 
     # hard-BC wrapper u = A raw + c, rows of A stacked (d * D_out + e).
@@ -166,12 +238,12 @@ def _kernel(cfg, n_iters, K, T,
     gb_out[:] += jnp.sum(g_raw, axis=1, keepdims=True)       # (D_out, 1)
     g_h = _dot(w_out[:], g_raw, ((1,), (0,)))                # (H, Bt)
     for l in range(Lh - 1, -1, -1):
-        g_z = g_h * (OMEGA_0 * jnp.cos(OMEGA_0 * zs[l + 1]))
-        h_in = jnp.sin(OMEGA_0 * zs[l])
+        g_z = g_h * (OMEGA_0 * cs[l + 1])
+        h_in = hs[l]
         gw_hid[l] += _dot(h_in, g_z, ((1,), (1,)))
         gb_hid[l] += jnp.sum(g_z, axis=1, keepdims=True)
         g_h = _dot(w_hid[l], g_z, ((1,), (0,)))
-    g_z = g_h * (OMEGA_0 * jnp.cos(OMEGA_0 * zs[0]))
+    g_z = g_h * (OMEGA_0 * cs[0])
     gw_first[:] += _dot(x, g_z, ((1,), (1,)))                # (D_in, H)
     gb_first[:] += jnp.sum(g_z, axis=1, keepdims=True)
 
@@ -259,7 +331,8 @@ def _fused_call(cfg, n_iters, interpret, pool, lr, params_in):
                                   memory_space=pltpu.SMEM))
 
     scratch = [
-        pltpu.VMEM((Lh + 1, H, Bt), jnp.float32),            # zs
+        pltpu.VMEM((Lh + 1, H, Bt), jnp.float32),            # hs (sin)
+        pltpu.VMEM((Lh + 1, H, Bt), jnp.float32),            # cs (cos)
         # m, v for each param group (first w/b, hid w/b, out w/b)
         pltpu.VMEM(w_first.shape, jnp.float32),
         pltpu.VMEM(w_first.shape, jnp.float32),
@@ -286,12 +359,12 @@ def _fused_call(cfg, n_iters, interpret, pool, lr, params_in):
 
     def kern(lr_ref, x_ref, A_ref, c_ref, tgt_ref, w_ref,
              wf_in, bf_in, wh_in, bh_in, wo_in, bo_in,
-             wf, bf, wh, bh, wo, bo, loss_out, zs, *mv):
-        _kernel((Lh, D_in, D_out), n_iters, K, T,
+             wf, bf, wh, bh, wo, bo, loss_out, hs, cs, *mv):
+        _kernel((Lh, D_in, D_out, not interpret), n_iters, K, T,
                 lr_ref, x_ref, A_ref, c_ref, tgt_ref, w_ref,
                 wf_in, bf_in, wh_in, bh_in, wo_in, bo_in,
                 wf, bf, wh, bh, wo, bo, loss_out,
-                zs, mv)
+                hs, cs, mv)
 
     outs = pl.pallas_call(
         kern,

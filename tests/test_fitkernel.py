@@ -182,3 +182,41 @@ def test_fit_mode_auto_resolves_per_backend():
     fluid = NeuralFluid(get_scene("taylorgreen"))
     expect = "xla" if jax.default_backend() == "cpu" else "fused"
     assert fluid.fit_mode == expect
+
+
+def test_dot3_matches_f32():
+    """The hand-rolled bf16_3x decomposition (_dot3) must agree with the
+    full-f32 dot to bf16_3x accuracy: the dropped lo@lo term is
+    ~2^-16 * sum|a||b| (lo parts carry significand bits 8-16), i.e.
+    ~6e-4 absolute for a 64-term contraction of N(0,1) operands — the
+    SAME error class XLA's own HIGH (bf16_3x) dots carry, which the TG
+    error gate validated on hardware. Anything past ~1e-3 here would
+    mean the split algebra is wrong (e.g. a missing cross term, ~1e-2)."""
+    from nmcfluid.sim.fitkernel import _dot3
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    a = jax.random.normal(k1, (64, 64))
+    b = jax.random.normal(k2, (64, 2048))
+    want = jnp.einsum("ij,ik->jk", a, b,
+                      precision=jax.lax.Precision.HIGHEST)
+    got = _dot3(a, b, ((0,), (0,)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-3)
+    # and it is NOT the single-pass bf16 result (which errs ~2^-8)
+    lowp = jnp.einsum("ij,ik->jk", a.astype(jnp.bfloat16),
+                      b.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    assert float(jnp.max(jnp.abs(got - want))) \
+        < 0.05 * float(jnp.max(jnp.abs(lowp - want)))
+
+
+def test_sincos_poly_accuracy():
+    """The compiled kernel's shared-reduction sincos must track libm to
+    f32 rounding level across the whole preactivation range the SIREN
+    nets produce (|omega * z| < ~300)."""
+    from nmcfluid.sim.fitkernel import _sincos_poly
+    t = jnp.asarray(np.linspace(-300.0, 300.0, 200001), jnp.float32)
+    s, c = _sincos_poly(t)
+    t64 = np.asarray(t, np.float64)
+    err_s = np.abs(np.asarray(s, np.float64) - np.sin(t64)).max()
+    err_c = np.abs(np.asarray(c, np.float64) - np.cos(t64)).max()
+    assert err_s < 3e-5 and err_c < 3e-5, (err_s, err_c)
