@@ -61,12 +61,19 @@ def polyline_chain(pts):
         np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
 
 
-def build_segments(parts, pad: int = 8) -> Seg2D:
+def build_segments(parts, pad: int = 8, double_sided: bool = False) -> Seg2D:
     """Assemble a Seg2D from [(verts, segs), ...] parts (numpy, float64).
 
     Orientation matters: with segment direction d = b - a the normal
     (d.y, -d.x) must point out of the fluid (walls: fluid on the left of
     d; obstacles: traversed clockwise when the fluid is outside).
+
+    double_sided: keep EVERY interior vertex as a silhouette candidate —
+    a vertex convex from one side is reflex from the other, so the
+    static convex-vertex drop below is only valid for interior
+    (single-sided) problems (scene.h:84-90 ignoreCandidateSilhouette
+    returns false when isDoubleSided). The dynamic per-walker test
+    (d1*d2 <= 0) is side-symmetric and needs no change.
     """
     all_a, all_b, all_n = [], [], []
     sv, sn1, sn2, s_always = [], [], [], []
@@ -102,7 +109,7 @@ def build_segments(parts, pad: int = 8) -> Seg2D:
                 # reflex (turn toward the fluid) <=> turn < 0 with our
                 # orientation; convex/flat vertices are never silhouettes
                 # for interior problems (scene.h:84-90)
-                if turn < -_SIL_PRECISION:
+                if double_sided or turn < -_SIL_PRECISION:
                     sv.append(v)
                     sn1.append(nrm[i])
                     sn2.append(nrm[j])

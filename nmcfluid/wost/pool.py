@@ -42,7 +42,7 @@ from ..ops import fastrand, greens2d, greens3d
 from ..ops.sampling import pdf_unit_sphere, unit_sphere_from_u
 from .solver import (ACTIVE, DONE_DIRICHLET, DONE_RR, RADIUS_SHRINK,
                      WalkSettings, WalkState, WostScene, _advance,
-                     _dirichlet_dist)
+                     _dirichlet_dist, _fresh_state)
 
 EMPTY = -1  # slot status: no walk assigned (distinct from ACTIVE/terminal)
 
@@ -187,16 +187,7 @@ def _start_states(scene, settings, pd: PointData, seed2, g, source_args,
     dir_b = _strat_dir(seed2, w, i, _SALT_JIT_B, rot_i, 0.5, n_pairs, D)
     bgd_vec = (sign * bgd_i)[..., None] * dir_b
     x0 = pts_i + (sign * R1_i)[..., None] * dir_b
-    st = WalkState(
-        x=x0,
-        n=jnp.zeros_like(x0),
-        on_neumann=jnp.zeros(g.shape, bool),
-        thr=thr1_i,
-        acc=first_src,
-        steps=jnp.zeros(g.shape, jnp.int32),
-        status=jnp.full(g.shape, ACTIVE, jnp.int32),
-        first_radius=jnp.zeros(g.shape, jnp.float32),
-    )
+    st = _fresh_state(x0, thr=thr1_i, acc=first_src)
     return st, 1.0 - degen_i, first_src, bgd_vec, sgd_vec
 
 
@@ -211,7 +202,13 @@ def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv,
     _, _, i, _ = _decode(carry.g, n_anti, N)
 
     total = st.acc
-    if scene.dirichlet_fn is not None and not settings.ignore_dirichlet:
+    if (settings.solve_double_sided and scene.dirichlet_ds_fn is not None
+            and not settings.ignore_dirichlet):
+        sd = scene.qmod().signed_distance(scene.dirichlet, st.x)
+        total = total + jnp.where(
+            st.status == DONE_DIRICHLET,
+            st.thr * scene.dirichlet_ds_fn(st.x, sd > 0.0), 0.0)
+    elif scene.dirichlet_fn is not None and not settings.ignore_dirichlet:
         total = total + jnp.where(st.status == DONE_DIRICHLET,
                                   st.thr * scene.dirichlet_fn(st.x), 0.0)
     valid = (term & ((st.status == DONE_RR) | (st.status == DONE_DIRICHLET))
@@ -246,7 +243,8 @@ def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv,
         thr=sel(st_new.thr, st.thr), acc=sel(st_new.acc, st.acc),
         steps=sel(st_new.steps, st.steps),
         status=jnp.where(take, ACTIVE, keep_status),
-        first_radius=sel(st_new.first_radius, st.first_radius))
+        first_radius=sel(st_new.first_radius, st.first_radius),
+        flipped=sel(st_new.flipped, st.flipped))
     n_issued = jnp.minimum(jnp.sum(free.astype(jnp.int32)),
                            g_hi - carry.next_lane)
     return PoolCarry(
@@ -328,15 +326,9 @@ def estimate_solution_and_gradient_pool(scene: WostScene,
     pd = _precompute(scene, settings, pts, key)
     carry = PoolCarry(
         next_lane=jnp.int32(0),
-        st=WalkState(
-            x=jnp.zeros((S, D), jnp.float32),
-            n=jnp.zeros((S, D), jnp.float32),
-            on_neumann=jnp.zeros((S,), bool),
-            thr=jnp.zeros((S,), jnp.float32),
-            acc=jnp.zeros((S,), jnp.float32),
-            steps=jnp.zeros((S,), jnp.int32),
-            status=jnp.full((S,), EMPTY, jnp.int32),
-            first_radius=jnp.zeros((S,), jnp.float32)),
+        st=_fresh_state(jnp.zeros((S, D), jnp.float32),
+                        thr=jnp.zeros((S,), jnp.float32),
+                        status=jnp.full((S,), EMPTY, jnp.int32)),
         g=jnp.zeros((S,), jnp.int32),
         ok=jnp.zeros((S,), jnp.float32),
         first_src=jnp.zeros((S,), jnp.float32),

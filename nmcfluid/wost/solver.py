@@ -68,6 +68,19 @@ class WalkSettings:
     ignore_dirichlet: bool = True
     ignore_neumann: bool = False
     ignore_source: bool = False
+    # double-sided boundary conditions (walk_on_stars.h:734 solveDoubleSided,
+    # pde.h:20-24 dirichletDoubleSided/neumannDoubleSided): the PDE is
+    # solved on BOTH sides of the boundary. Walk mechanics: a walker that
+    # reached the Neumann boundary through its front face has its stored
+    # normal flipped to keep hemisphere sampling + ray offsets on the
+    # side it arrived from (walk_on_stars.h:152-159); silhouette
+    # candidates are never statically dropped (scene.h:84-90 returns
+    # false — pass double_sided=True to build_segments); boundary values
+    # become side-dependent: dirichlet_ds_fn(x, front) selects by the
+    # sign of the signed distance at termination (:336-341), and
+    # neumann_ds_fn(x, aligned) gets zombie's estimateBoundaryNormalAligned
+    # flag (:221-253).
+    solve_double_sided: bool = False
     use_gradient_control_variates: bool = True
     use_gradient_antithetic_variates: bool = True
     # antithetic pairs advanced together as extra walker lanes per
@@ -136,6 +149,13 @@ class WostScene:
     dirichlet: Optional[object] = None
     neumann_fn: Optional[Callable] = None
     dirichlet_fn: Optional[Callable] = None
+    # double-sided variants (pde.h:20-24), used when
+    # settings.solve_double_sided: fn(x, side) with `side` a bool array —
+    # dirichlet_ds_fn: sign of the signed distance to the Dirichlet
+    # boundary at termination; neumann_ds_fn: zombie's
+    # estimateBoundaryNormalAligned flag for the sampled boundary point
+    dirichlet_ds_fn: Optional[Callable] = None
+    neumann_ds_fn: Optional[Callable] = None
 
     def qmod(self):
         return queries2d if self.dim == 2 else queries3d
@@ -163,6 +183,27 @@ class WalkState(NamedTuple):
     steps: jax.Array        # (...,) int32
     status: jax.Array       # (...,) int32 completion code
     first_radius: jax.Array  # (...,) >0 -> use as first star radius
+    # double-sided only: stored normal opposes the geometric one (the
+    # walker reached the boundary through its front face and the normal
+    # was flipped to its side, walk_on_stars.h:152-159). Constant False
+    # in single-sided walks.
+    flipped: jax.Array = None  # (...,) bool
+
+
+def _fresh_state(x, **over):
+    """WalkState at interior positions x with all-default per-lane fields."""
+    lanes = x.shape[:-1]
+    base = dict(
+        x=x, n=jnp.zeros_like(x),
+        on_neumann=jnp.zeros(lanes, bool),
+        thr=jnp.ones(lanes, jnp.float32),
+        acc=jnp.zeros(lanes, jnp.float32),
+        steps=jnp.zeros(lanes, jnp.int32),
+        status=jnp.full(lanes, ACTIVE, jnp.int32),
+        first_radius=jnp.zeros(lanes, jnp.float32),
+        flipped=jnp.zeros(lanes, bool))
+    base.update(over)
+    return WalkState(**base)
 
 
 def _dirichlet_dist(scene, x):
@@ -261,11 +302,23 @@ def _advance(scene, greens, settings: WalkSettings, st: WalkState, draw,
     hit, t_hit, hit_pt, hit_n = q.ray_intersect(soup, o_eff, d, R)
     arc_pt = o_eff + R[..., None] * d
     new_pt = jnp.where(hit[..., None], hit_pt, arc_pt)
+    new_flipped = st.flipped
+    if settings.solve_double_sided:
+        # double-sided: a walker hitting the FRONT face keeps the walk on
+        # the side it arrived from by flipping the stored normal
+        # (walk_on_stars.h:152-159, applied at the hit instead of at the
+        # next step's start — nothing reads the normal in between)
+        front = jnp.sum(d * hit_n, axis=-1) < 0.0
+        hit_n = jnp.where((hit & front)[..., None], -hit_n, hit_n)
+        new_flipped = jnp.where(hit, hit & front, st.flipped)
     new_n = jnp.where(hit[..., None], hit_n, st.n)
 
     acc = st.acc
     # ---- Neumann boundary term (zero boundary data short-circuits)
-    if scene.neumann_fn is not None and not settings.ignore_neumann:
+    use_ds_neumann = (settings.solve_double_sided
+                      and scene.neumann_ds_fn is not None)
+    if (scene.neumann_fn is not None or use_ds_neumann) \
+            and not settings.ignore_neumann:
         kb = jax.random.fold_in(key_step, 1)
         bpt, bn, bpdf = _sample_neumann_boundary(scene, st.x, R, kb)
         bdist = jnp.linalg.norm(bpt - st.x, axis=-1)
@@ -276,7 +329,21 @@ def _advance(scene, greens, settings: WalkSettings, st: WalkState, draw,
         if mixed:
             G = jnp.where(on_yukawa, G, g_harm.eval(
                 ball_h, jnp.maximum(bdist, greens2d.R_CLAMP)))
-        h = scene.neumann_fn(bpt)
+        if use_ds_neumann:
+            # estimateBoundaryNormalAligned (walk_on_stars.h:221-253):
+            # aligned when the walker's own normal was flipped this step,
+            # or the sample's normal faces away from the sample direction
+            # (with the concave-hemisphere caveat when on the boundary)
+            prec = settings.silhouette_precision
+            dirn = (bpt - st.x) / jnp.maximum(bdist, 1e-20)[..., None]
+            faces_away = jnp.sum(dirn * bn, axis=-1) < -prec
+            concave_ok = jnp.where(st.on_neumann,
+                                   jnp.sum(dirn * st.n, axis=-1) < -prec,
+                                   True)
+            aligned = st.flipped | (faces_away & concave_ok)
+            h = scene.neumann_ds_fn(bpt, aligned)
+        else:
+            h = scene.neumann_fn(bpt)
         acc = acc + jnp.where(active & ok,
                               st.thr * alpha * G * h / bpdf, 0.0)
 
@@ -329,6 +396,7 @@ def _advance(scene, greens, settings: WalkSettings, st: WalkState, draw,
         steps=jnp.where(active, steps, st.steps),
         status=status,
         first_radius=jnp.zeros_like(st.first_radius),
+        flipped=jnp.where(active, new_flipped, st.flipped),
     )
 
 
@@ -371,7 +439,14 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
     final = final._replace(status=status)
 
     terminal = jnp.zeros_like(final.acc)
-    if scene.dirichlet_fn is not None and not settings.ignore_dirichlet:
+    if (settings.solve_double_sided and scene.dirichlet_ds_fn is not None
+            and not settings.ignore_dirichlet):
+        # dirichletDoubleSided(x, side): side = sign of the signed
+        # distance at termination (walk_on_stars.h:332-341)
+        sd = scene.qmod().signed_distance(scene.dirichlet, final.x)
+        terminal = jnp.where(final.status == DONE_DIRICHLET,
+                             scene.dirichlet_ds_fn(final.x, sd > 0.0), 0.0)
+    elif scene.dirichlet_fn is not None and not settings.ignore_dirichlet:
         terminal = jnp.where(final.status == DONE_DIRICHLET,
                              scene.dirichlet_fn(final.x), 0.0)
     total = final.acc + final.thr * terminal
@@ -404,16 +479,8 @@ def estimate_solution(scene: WostScene, settings: WalkSettings, pts, key,
     first_r = _first_sphere_radius_solution(scene, settings, pts)
 
     lanes = (n_walks, N)
-    st = WalkState(
-        x=jnp.broadcast_to(pts, lanes + (scene.dim,)),
-        n=jnp.zeros(lanes + (scene.dim,), jnp.float32),
-        on_neumann=jnp.zeros(lanes, bool),
-        thr=jnp.ones(lanes, jnp.float32),
-        acc=jnp.zeros(lanes, jnp.float32),
-        steps=jnp.zeros(lanes, jnp.int32),
-        status=jnp.zeros(lanes, jnp.int32),
-        first_radius=jnp.broadcast_to(first_r, lanes),
-    )
+    st = _fresh_state(jnp.broadcast_to(pts, lanes + (scene.dim,)),
+                      first_radius=jnp.broadcast_to(first_r, lanes))
     total, valid, steps = _walk(scene, greens, settings, st, key, lanes,
                                 source_args)
     n_valid = jnp.sum(valid, axis=0)
@@ -463,8 +530,11 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     than pairs x max length. Falls back to lockstep for the threefry
     RNG or nonzero Neumann data, which the pool does not support.
     """
+    has_neumann_data = (scene.neumann_fn is not None
+                        or (settings.solve_double_sided
+                            and scene.neumann_ds_fn is not None))
     if (settings.algo == "pool" and settings.fast_rng
-            and (scene.neumann_fn is None or settings.ignore_neumann)):
+            and (not has_neumann_data or settings.ignore_neumann)):
         from . import pool
         return pool.estimate_solution_and_gradient_pool(
             scene, settings, pts, key, n_walks=n_walks,
@@ -565,16 +635,8 @@ def _grad_launch(scene: WostScene, settings: WalkSettings, pts, key,
         # boundaryGradientDirection = pkGradient/(b_pdf * throughput)
         bgd = (signs * dir_b[None]) * (pk_ratio * R1 / b_pdf)[None, :, None]
 
-        st = WalkState(
-            x=y_surf,
-            n=jnp.zeros_like(y_surf),
-            on_neumann=jnp.zeros((n_anti, N), bool),
-            thr=jnp.broadcast_to(thr1, (n_anti, N)),
-            acc=first_src,
-            steps=jnp.zeros((n_anti, N), jnp.int32),
-            status=jnp.zeros((n_anti, N), jnp.int32),
-            first_radius=jnp.zeros((n_anti, N), jnp.float32),
-        )
+        st = _fresh_state(y_surf, thr=jnp.broadcast_to(thr1, (n_anti, N)),
+                          acc=first_src)
         total, valid, _ = _walk(scene, greens, settings, st,
                                 jax.random.fold_in(kw, 3), (N,), source_args)
         valid = valid & ~degenerate[None]
