@@ -527,12 +527,24 @@ def _fused_supported(fluid):
 
     Falls back to the XLA while_loop when a knob the kernel does not
     implement is active: parameter EMA, plateau early-stop, gradient
-    clipping, or a device mesh (the fits are latency-bound at these
-    batch sizes — sharding a ~1 ms kernel buys nothing, and data-
-    parallel Adam would need a cross-device psum every iteration inside
-    the grid; the walk and pressure stages stay sharded)."""
+    clipping, or a non-sine nonlinearity.
+
+    Under a device mesh the kernel runs REPLICATED (round 4; round 3
+    fell back to the XLA loop, costing sharded runs the 3-20x fit
+    speedup): the K-batch pool is built point-sharded (the throughput
+    work — 2M network evals), then one all-gather re-replicates it
+    (~92 MB for TG, milliseconds on ICI) and every device runs the
+    identical kernel — multi-chip runs keep the single-chip fit speed,
+    measured equal to the meshless fused fit on the 8-device CPU mesh
+    (tests/test_parallel.py::test_fused_fit_under_mesh_matches).
+    TRUE data-parallel fits (per-iteration grad psum) stay rejected on
+    arithmetic, not taste: a fused iteration is 46 us on v5e (round-4
+    capture) and the batch work that sharding would divide is only ~half
+    of it, while a small-payload (~100 KB grads) ICI all-reduce costs
+    10s of us of latency per iteration — a >= 1x overhead for a <= 2x
+    saving. The walk and pressure stages remain sharded."""
     return (fluid.param_ema == 0.0 and fluid.fit_plateau == 0
-            and fluid.grad_clip <= 0.0 and fluid.mesh is None
+            and fluid.grad_clip <= 0.0
             and fluid.siren_cfg.nonlinearity == "sine")
 
 
@@ -575,6 +587,13 @@ def _fused_fit(fluid, params0, key, batch_fn):
     # keys disjoint from ls_head's fold_in(key, max_n_iters + 1 + j)
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(K))
     pool = jax.lax.map(make, keys, batch_size=min(16, K))
+    if fluid.mesh is not None:
+        # pool build above is point-sharded; the kernel runs replicated
+        # on every device (see _fused_supported) — re-replicate here
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(fluid.mesh, PartitionSpec())
+        pool = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, rep), pool)
     params, loss = fused_adam_fit(params0, fluid.siren_cfg, pool,
                                   fluid.max_n_iters, _fit_lr_array(fluid))
     if fluid.ls_head > 0:
