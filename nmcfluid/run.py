@@ -47,6 +47,17 @@ def _enable_compile_cache():
                           "/root/repo/.jax_cache")
     sub = jax.default_backend()
     if sub == "cpu":
+        # round 4: the cpuinfo-flags fingerprint proved insufficient —
+        # cpu_aot_loader rejected a SAME-fingerprint entry ("Target
+        # machine feature +prefer-no-gather is not supported on the
+        # host") because XLA's LLVM feature view (prefer-no-gather/
+        # -scatter, amx-* subfeatures) is finer than /proc/cpuinfo.
+        # XLA:CPU AOT executables are only safe host-locked, and this
+        # container migrates hosts, so the CPU cache is now OPT-IN for
+        # single-host workflows; TPU executables target the accelerator
+        # and stay cached.
+        if os.environ.get("NMCFLUID_CPU_CACHE") != "1":
+            return
         sub = f"cpu-{_host_fingerprint()}"
     jax.config.update("jax_compilation_cache_dir", os.path.join(base, sub))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -94,6 +105,11 @@ def build_parser():
                         "(cost ~ sum of walk lengths) or the round-1 "
                         "lockstep pair loop")
     p.add_argument("--pool_step_cap", type=int, default=1024)
+    p.add_argument("--adaptive_walks", type=float, default=0.0,
+                   help="adaptive MC walk allocation (pool mode): kappa "
+                        "scaling of the equal-RMS-error optimal budget "
+                        "n_i ~ sigma_i; 0 = the reference's fixed "
+                        "n_walks per point (WalkSettings.adaptive_walks)")
     p.add_argument("--grad_clip", type=float, default=-1.0,
                    help="global-l2 gradient clip for the phase fits, "
                         "<=0 off (config.py --grad_clip)")
@@ -224,11 +240,12 @@ def make_fluid(args):
         mesh = points_mesh(args.mesh)
     ws = None
     if (args.n_walks or args.walk_step_cap != 64 or args.walk_algo != "pool"
-            or args.pool_step_cap != 1024):
+            or args.pool_step_cap != 1024 or args.adaptive_walks > 0.0):
         ws = scene.walk_settings(n_walks=args.n_walks or scene.n_walks,
                                  walk_step_cap=args.walk_step_cap,
                                  algo=args.walk_algo,
-                                 pool_step_cap=args.pool_step_cap)
+                                 pool_step_cap=args.pool_step_cap,
+                                 adaptive_walks=args.adaptive_walks)
     return NeuralFluid(scene,
                        max_n_iters=args.max_n_iters,
                        sample_resolution=args.sample_resolution,

@@ -145,25 +145,32 @@ def _strat_dir(seed2, w, i, salt, rot_i, shift, n_pairs, D):
     return unit_sphere_from_u(jnp.stack([u0, u1], axis=-1), 3)
 
 
-def _decode(g, n_anti, N):
-    """lane id -> (pair w, antithetic half a, point i, sign)."""
-    i = g % N
-    wa = g // N
+def _decode(g, n_anti, n_active, active_idx):
+    """virtual lane id -> (pair w, antithetic half a, point i, sign).
+
+    The queue enumerates (pair, half, active-slot) with n_active dynamic;
+    active_idx maps slot j -> real point id i. With all points active
+    (active_idx = arange, n_active = N) this is the round-3 layout, and
+    the RNG stream ids derived from (w, i) are identical either way, so
+    adaptive runs draw the SAME walks for the pairs they do issue."""
+    j = g % n_active
+    wa = g // n_active
     a = wa % n_anti
     w = wa // n_anti
+    i = active_idx[j]
     sign = 1.0 - 2.0 * a.astype(jnp.float32)
     return w, a, i, sign
 
 
 def _start_states(scene, settings, pd: PointData, seed2, g, source_args,
-                  n_pairs, n_anti, N):
+                  n_pairs, n_anti, n_active, active_idx):
     """Start state for lane ids g (S,): the first-ball antithetic source
     sample + first surface step of _grad_launch.one_pair, regenerated
     on demand from counter streams keyed on (pair, point). All per-point
     data arrives through ONE packed gather (pd.packed[i])."""
     D = scene.dim
     g1 = _first_greens(scene, settings)
-    w, a, i, sign = _decode(g, n_anti, N)
+    w, a, i, sign = _decode(g, n_anti, n_active, active_idx)
     wu = w.astype(jnp.uint32)
     iu = i.astype(jnp.uint32)
     row = pd.packed[i]                                 # (S, K), one gather
@@ -192,14 +199,15 @@ def _start_states(scene, settings, pd: PointData, seed2, g, source_args,
 
 
 def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv,
-                    carry: PoolCarry, source_args, n_pairs, n_anti, N):
+                    carry: PoolCarry, source_args, n_pairs, n_anti,
+                    n_active, active_idx):
     """Terminated lanes: fold contributions into the packed per-point
     accumulator (ONE scatter-add); then assign freed slots the next
     queued lane ids (prefix-sum ranks). `cv` is (N, 2): [cv_b | cv_s],
     gathered as one row."""
     st = carry.st
     term = (st.status != ACTIVE) & (st.status != EMPTY)
-    _, _, i, _ = _decode(carry.g, n_anti, N)
+    _, _, i, _ = _decode(carry.g, n_anti, n_active, active_idx)
 
     total = st.acc
     if (settings.solve_double_sided and scene.dirichlet_ds_fn is not None
@@ -222,7 +230,9 @@ def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv,
     vf = valid.astype(jnp.float32)
     contrib = jnp.concatenate(
         [(vf * total)[:, None], (vf * carry.first_src)[:, None],
-         vf[:, None], vf[:, None] * gvec], axis=1)     # (S, 3 + D)
+         vf[:, None], vf[:, None] * gvec,
+         vf[:, None] * gvec * gvec,
+         (vf * total * total)[:, None]], axis=1)       # (S, 4 + 2D)
     acc = carry.acc.at[i].add(contrib)                 # one scatter-add
 
     # ---- refill freed slots from the queue
@@ -232,7 +242,7 @@ def _scatter_refill(scene, settings, pd: PointData, seed2, g_hi, cv,
     take = free & (new_g < g_hi)
     st_new, ok_new, fs_new, bv_new, sv_new = _start_states(
         scene, settings, pd, seed2, jnp.where(take, new_g, 0), source_args,
-        n_pairs, n_anti, N)
+        n_pairs, n_anti, n_active, active_idx)
 
     keep_status = jnp.where(term, EMPTY, st.status)
     sel = lambda n, o: jnp.where(take, n, o)
@@ -271,7 +281,7 @@ def _make_draw(seed_w, st, pl):
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _pool_launch(scene: WostScene, settings: WalkSettings, n_pairs: int,
                  n_anti: int, N: int, pd, key, g_hi, cv,
-                 carry: PoolCarry, source_args=()):
+                 carry: PoolCarry, n_active, active_idx, source_args=()):
     """Up to ~pool_trips_per_launch sequential steps of the pool schedule:
     while work remains, [scatter + refill] then `pool_refill_every`
     unrolled walk steps. Returns (carry, done)."""
@@ -291,8 +301,12 @@ def _pool_launch(scene: WostScene, settings: WalkSettings, n_pairs: int,
     def body(oc):
         o, c = oc
         c = _scatter_refill(scene, settings, pd, seed2, g_hi, cv,
-                            c, source_args, n_pairs, n_anti, N)
-        pl = ((c.g // (n_anti * N)) * N + (c.g % N)).astype(jnp.uint32)
+                            c, source_args, n_pairs, n_anti,
+                            n_active, active_idx)
+        # RNG stream id from the REAL (pair, point) — identical streams
+        # whether or not the point set is adaptively compacted
+        w_, _, i_, _ = _decode(c.g, n_anti, n_active, active_idx)
+        pl = (w_ * N + i_).astype(jnp.uint32)
         st = c.st
         for _ in range(K):  # unrolled: trip count = outer trips only
             st = _advance(scene, greens, settings, st,
@@ -334,35 +348,115 @@ def estimate_solution_and_gradient_pool(scene: WostScene,
         first_src=jnp.zeros((S,), jnp.float32),
         bgd_vec=jnp.zeros((S, D), jnp.float32),
         sgd_vec=jnp.zeros((S, D), jnp.float32),
-        acc=jnp.zeros((N, 3 + D), jnp.float32))
+        acc=jnp.zeros((N, 4 + 2 * D), jnp.float32))
+    act_full = jnp.arange(N, dtype=jnp.int32)
 
-    def run(lo_pair, hi_pair, cv, carry):
-        carry = carry._replace(next_lane=jnp.int32(lo_pair * n_anti * N))
-        g_hi = jnp.int32(hi_pair * n_anti * N)
+    def run(lo_pair, hi_pair, cv, carry, active_idx, n_active):
+        carry = carry._replace(
+            next_lane=jnp.int32(lo_pair * n_anti * n_active))
+        g_hi = jnp.int32(hi_pair * n_anti * n_active)
         # generous guard: every queued step plus slack, at least a few
-        max_launches = 8 + (W * settings.pool_step_cap) \
+        w_round = (hi_pair - lo_pair) * n_anti * n_active
+        max_launches = 8 + (w_round * settings.pool_step_cap) \
             // (S * max(1, settings.pool_trips_per_launch))
         for _ in range(max_launches):
             carry, dn = _pool_launch(scene, settings, n_pairs, n_anti, N,
-                                     pd, key, g_hi, cv, carry, source_args)
+                                     pd, key, g_hi, cv, carry,
+                                     jnp.int32(n_active), active_idx,
+                                     source_args)
             if bool(dn):
                 return carry
         raise RuntimeError("walker pool failed to drain (scheduler bug?)")
 
+    def point_sems(acc_np):
+        """Per-point standard error of the gradient magnitude AND the
+        solution estimate (both must converge before a point stops —
+        early-stopped points would otherwise keep warmup-level solution
+        noise)."""
+        import numpy as np
+        n = np.maximum(np.asarray(acc_np[:, 2]), 2.0)
+        mean_g = acc_np[:, 3:3 + D] / n[:, None]
+        var_g = np.maximum(
+            acc_np[:, 3 + D:3 + 2 * D] / n[:, None] - mean_g ** 2, 0.0)
+        mean_s = acc_np[:, 0] / n
+        var_s = np.maximum(acc_np[:, 3 + 2 * D] / n - mean_s ** 2, 0.0)
+        return np.sqrt(var_s / n), np.sqrt(var_g.sum(1) / n)
+
     zcv = jnp.zeros((N, 2), jnp.float32)
     C = min(n_pairs, max(1, settings.cv_warmup_pairs))
-    if settings.use_gradient_control_variates and n_pairs > C:
-        carry = run(0, C, zcv, carry)
-        nv = jnp.maximum(carry.acc[:, 2], 1.0)
-        cv = carry.acc[:, 0:2] / nv[:, None]   # [cv_b | cv_s]
-        carry = run(C, n_pairs, cv, carry)
+    kappa = settings.adaptive_walks
+    if n_pairs > C and (settings.use_gradient_control_variates
+                        or kappa > 0.0):
+        carry = run(0, C, zcv, carry, act_full, N)
+        if settings.use_gradient_control_variates:
+            nv = jnp.maximum(carry.acc[:, 2], 1.0)
+            cv = carry.acc[:, 0:2] / nv[:, None]   # [cv_b | cv_s]
+        else:
+            cv = zcv
+        if kappa > 0.0:
+            # geometric pair-count rounds C -> n_pairs; between rounds,
+            # stop points whose gradient SEM is already <= kappa x the
+            # median point's PROJECTED final SEM at the full budget
+            # (SEM-equalizing allocation; see WalkSettings.adaptive_walks)
+            import numpy as np
+            R = max(2, settings.adaptive_rounds)
+            ratio = (n_pairs / C) ** (1.0 / (R - 1))
+            bounds = sorted({min(n_pairs, int(round(C * ratio ** k)))
+                             for k in range(1, R)} | {n_pairs})
+            lo = C
+            first = True
+            for hi in bounds:
+                if hi <= lo:
+                    continue
+                if first:
+                    # every point takes the first post-warmup round: the
+                    # warmup pairs carry zero control variates, so stop
+                    # decisions (and final estimates) must include CV'd
+                    # walks before any point is frozen
+                    alive = np.arange(N)
+                    first = False
+                else:
+                    # optimal-allocation rule: for a total-walk budget,
+                    # sum_i sigma_i^2/n_i is minimized by n_i ~ sigma_i
+                    # (Cauchy-Schwarz); the allocation that EQUALS the
+                    # fixed scheme's RMS standard error with minimal
+                    # walks is n_i* = n_pairs * sigma_i * mean(sigma) /
+                    # mean(sigma^2) = n_pairs/(1+cv^2) total. kappa
+                    # scales the budget (1.0 = fixed-scheme RMS error);
+                    # on a variance-homogeneous scene n_i* ~ n_pairs and
+                    # nothing stops early — the savings come exactly
+                    # from variance heterogeneity (karman: the gradient
+                    # variance concentrates at the obstacle).
+                    acc_np = np.asarray(carry.acc)
+                    nw = np.maximum(acc_np[:, 2], 2.0)
+                    sem_s, sem_g = point_sems(acc_np)
+
+                    def target(sigma):
+                        s2 = np.mean(sigma ** 2)
+                        if s2 <= 0.0:
+                            return np.full(N, n_pairs)
+                        return n_pairs * sigma * np.mean(sigma) / s2
+
+                    tgt = kappa * np.maximum(
+                        target(sem_s * np.sqrt(nw)),
+                        target(sem_g * np.sqrt(nw)))
+                    alive = np.nonzero(lo < tgt)[0]
+                if len(alive) == 0:
+                    break
+                idx = np.zeros(N, np.int32)
+                idx[:len(alive)] = alive
+                carry = run(lo, hi, cv, carry, jnp.asarray(idx),
+                            int(len(alive)))
+                lo = hi
+        else:
+            carry = run(C, n_pairs, cv, carry, act_full, N)
     else:
-        carry = run(0, n_pairs, zcv, carry)
+        carry = run(0, n_pairs, zcv, carry, act_full, N)
 
     n_valid = carry.acc[:, 2]
     denom = jnp.maximum(n_valid, 1.0)
     p = carry.acc[:, 0] / denom
-    grad = carry.acc[:, 3:] / denom[:, None]
+    grad = carry.acc[:, 3:3 + D] / denom[:, None]
     if mask_invalid:
         p = jnp.where(pd.degenerate, 0.0, p)
         grad = jnp.where(pd.degenerate[..., None], 0.0, grad)

@@ -128,6 +128,20 @@ class WalkSettings:
     # frozen for the remaining pairs (the reference warms its running
     # mean from zero the same way, walk_on_stars.h:501-506)
     cv_warmup_pairs: int = 16
+    # ---- adaptive walk allocation (pool mode only; round 4). The
+    # reference spends a fixed nWalks on every point
+    # (walk_on_stars.h:354-461); on obstacle scenes the gradient
+    # variance is concentrated near the silhouettes, so most points
+    # converge long before 500 walks. With kappa = adaptive_walks > 0
+    # the pool runs geometric rounds of pairs and, between rounds,
+    # STOPS points whose gradient standard error is already below
+    # kappa x the median point's PROJECTED final SEM at the full
+    # budget (SEM-equalizing: walks go where the variance is).
+    # Stopped points' remaining queue lanes are never issued (the
+    # active-point index remap keeps every shape static — zero
+    # recompiles). 0.0 = off (the reference's fixed allocation).
+    adaptive_walks: float = 0.0
+    adaptive_rounds: int = 4
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # id-hash: stable jit cache key
