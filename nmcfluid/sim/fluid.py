@@ -870,15 +870,25 @@ def _pressure_solve_spectral(fluid, div_grid, key, eps, t):
     p = sampling.bilinear_lookup(p_grid, ss, pts)
     grad_p = jnp.stack([sampling.bilinear_lookup(g_grid[..., i], ss, pts)
                         for i in range(scene.dim)], axis=-1)
-    if (scene.dim == 2 and scene.obstacle_center is not None
+    if (scene.obstacle_center is not None
             and scene.obstacle_radius is not None
             and scene.absorption > 0.0):
-        from ..ops.circle_modes import (eval_circle_correction,
-                                        fit_circle_correction)
-        coeffs = fit_circle_correction(
+        if scene.dim == 2:
+            from ..ops.circle_modes import (eval_circle_correction,
+                                            fit_circle_correction)
+            fit_fn, eval_fn = fit_circle_correction, eval_circle_correction
+        else:
+            # 3D sphere obstacles (smoke_obs, karman3d): the reference's
+            # own pressure solve runs on the bare cube (examples/
+            # {smoke_obs,karman3d}/wost.json boundary = cube.obj), so
+            # this modal correction is a capability beyond parity
+            from ..ops.sphere_modes import (eval_sphere_correction,
+                                            fit_sphere_correction)
+            fit_fn, eval_fn = fit_sphere_correction, eval_sphere_correction
+        coeffs = fit_fn(
             g_grid, ss, scene.obstacle_center, scene.obstacle_radius,
             scene.absorption)
-        q, grad_q = eval_circle_correction(
+        q, grad_q = eval_fn(
             coeffs, pts, scene.obstacle_center, scene.obstacle_radius,
             scene.absorption)
         p = p + q

@@ -148,16 +148,18 @@ def _strat_dir(seed2, w, i, salt, rot_i, shift, n_pairs, D):
 def _decode(g, n_anti, n_active, active_idx):
     """virtual lane id -> (pair w, antithetic half a, point i, sign).
 
-    The queue enumerates (pair, half, active-slot) with n_active dynamic;
-    active_idx maps slot j -> real point id i. With all points active
-    (active_idx = arange, n_active = N) this is the round-3 layout, and
-    the RNG stream ids derived from (w, i) are identical either way, so
-    adaptive runs draw the SAME walks for the pairs they do issue."""
+    The queue enumerates (pair, half, active-slot); active_idx maps slot
+    j -> real point id i, or None for the identity (non-adaptive runs:
+    keeps the decode pure integer arithmetic — the round-4 adaptive
+    gather measurably slowed the fixed path when it was unconditional,
+    karman 65k chunk walk 24.7 -> 35.6 s/frame). With the identity map
+    the RNG stream ids derived from (w, i) are unchanged, so adaptive
+    runs draw the SAME walks for the pairs they do issue."""
     j = g % n_active
     wa = g // n_active
     a = wa % n_anti
     w = wa // n_anti
-    i = active_idx[j]
+    i = j if active_idx is None else active_idx[j]
     sign = 1.0 - 2.0 * a.astype(jnp.float32)
     return w, a, i, sign
 
@@ -278,14 +280,16 @@ def _make_draw(seed_w, st, pl):
     return draw
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _pool_launch(scene: WostScene, settings: WalkSettings, n_pairs: int,
-                 n_anti: int, N: int, pd, key, g_hi, cv,
+                 n_anti: int, N: int, adaptive: bool, pd, key, g_hi, cv,
                  carry: PoolCarry, n_active, active_idx, source_args=()):
     """Up to ~pool_trips_per_launch sequential steps of the pool schedule:
     while work remains, [scatter + refill] then `pool_refill_every`
     unrolled walk steps. Returns (carry, done)."""
     greens = scene.greens()
+    if not adaptive:        # identity map, static modulus (see _decode)
+        n_active, active_idx = N, None
     seed_w = fastrand.seed_from_key(jax.random.fold_in(key, 1))
     seed2 = fastrand.seed_from_key(jax.random.fold_in(key, 2))
     K = max(1, settings.pool_refill_every)
@@ -361,9 +365,9 @@ def estimate_solution_and_gradient_pool(scene: WostScene,
             // (S * max(1, settings.pool_trips_per_launch))
         for _ in range(max_launches):
             carry, dn = _pool_launch(scene, settings, n_pairs, n_anti, N,
-                                     pd, key, g_hi, cv, carry,
-                                     jnp.int32(n_active), active_idx,
-                                     source_args)
+                                     kappa > 0.0, pd, key, g_hi, cv,
+                                     carry, jnp.int32(n_active),
+                                     active_idx, source_args)
             if bool(dn):
                 return carry
         raise RuntimeError("walker pool failed to drain (scheduler bug?)")

@@ -28,7 +28,7 @@ def _box_obj(path, lo=0.0, hi=2.0):
 
 def test_image_lookup_orientation_and_clamp():
     # arr[i, j] distinct per cell; uv.y rides rows from the TOP-DOWN array
-    arr = np.arange(12, np.float32).reshape(3, 4)
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
     fn = image_lookup_fn(arr, np.zeros(2), 1.0)
     x = jnp.asarray([[0.1, 0.1],     # row 0, col 0
                      [0.9, 0.1],     # row 0, col 3
