@@ -407,11 +407,15 @@ def estimate_solution_and_gradient_pool(scene: WostScene,
             ratio = (n_pairs / C) ** (1.0 / (R - 1))
             bounds = sorted({min(n_pairs, int(round(C * ratio ** k)))
                              for k in range(1, R)} | {n_pairs})
+            import os as _os
+            import time as _time
+            dbg = _os.environ.get("NMCFLUID_ADAPTIVE_DEBUG") == "1"
             lo = C
             first = True
             for hi in bounds:
                 if hi <= lo:
                     continue
+                t_round = _time.time()
                 if first:
                     # every point takes the first post-warmup round: the
                     # warmup pairs carry zero control variates, so stop
@@ -451,6 +455,12 @@ def estimate_solution_and_gradient_pool(scene: WostScene,
                 idx[:len(alive)] = alive
                 carry = run(lo, hi, cv, carry, jnp.asarray(idx),
                             int(len(alive)))
+                if dbg:
+                    jax.block_until_ready(carry.acc)
+                    print(f"  adaptive round pairs [{lo},{hi}): "
+                          f"active {len(alive)}/{N} "
+                          f"({len(alive)/N:.1%}), "
+                          f"{_time.time() - t_round:.2f}s", flush=True)
                 lo = hi
         else:
             carry = run(C, n_pairs, cv, carry, act_full, N)
