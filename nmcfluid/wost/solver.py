@@ -130,16 +130,18 @@ class WalkSettings:
     cv_warmup_pairs: int = 16
     # ---- adaptive walk allocation (pool mode only; round 4). The
     # reference spends a fixed nWalks on every point
-    # (walk_on_stars.h:354-461); on obstacle scenes the gradient
-    # variance is concentrated near the silhouettes, so most points
-    # converge long before 500 walks. With kappa = adaptive_walks > 0
-    # the pool runs geometric rounds of pairs and, between rounds,
-    # STOPS points whose gradient standard error is already below
-    # kappa x the median point's PROJECTED final SEM at the full
-    # budget (SEM-equalizing: walks go where the variance is).
-    # Stopped points' remaining queue lanes are never issued (the
-    # active-point index remap keeps every shape static — zero
-    # recompiles). 0.0 = off (the reference's fixed allocation).
+    # (walk_on_stars.h:354-461). With kappa = adaptive_walks > 0 the
+    # pool runs geometric rounds of pairs and, between rounds, stops
+    # points that have reached the OPTIMAL-ALLOCATION budget
+    # n_i* = kappa * n_pairs * sigma_i * mean(sigma)/mean(sigma^2)
+    # (n_i ~ sigma_i is the minimal total-walk allocation matching the
+    # fixed scheme's RMS standard error; solution AND gradient sigmas
+    # both guarded). Stopped points' remaining queue lanes are never
+    # issued (active-index remap, statically gated — zero recompiles,
+    # zero overhead when off). 0.0 = off (the reference's allocation).
+    # NOTE: measured NEGATIVE on the shipped karman config — see
+    # PARITY.md "Adaptive walk allocation" — kept for PDE workloads
+    # with variance-heterogeneous, cheap-to-walk clouds.
     adaptive_walks: float = 0.0
     adaptive_rounds: int = 4
 
@@ -257,8 +259,33 @@ def _sample_neumann_boundary(scene, x, radius, key):
         pdf = jnp.take_along_axis(w, idx[..., None], -1)[..., 0]
         pdf = pdf / jnp.maximum(tot, 1e-30) / jnp.maximum(li, 1e-20)
         return pt, soup.n[idx], pdf
-    raise NotImplementedError("3D Neumann-value sampling lands with a scene "
-                              "that has nonzero h (none shipped).")
+    # ---- 3D: per-triangle weight = area * |G3D(max(d, 1e-2))| (the same
+    # harmonic traversal weight the reference registers for both
+    # dimensions, demo/scene.h:157-160 / fcpw_scene_loader.h:599-620);
+    # pdf reported w.r.t. the boundary AREA measure. Padded slots are
+    # degenerate (area 0) and drop out of the categorical.
+    from ..geometry.queries3d import _closest_on_tri
+    tri = scene.neumann
+    area = 0.5 * jnp.linalg.norm(
+        jnp.cross(tri.vb - tri.va, tri.vc - tri.va), axis=-1)    # (P,)
+    cp = _closest_on_tri(x[..., None, :], tri.va, tri.vb, tri.vc)
+    d = jnp.linalg.norm(x[..., None, :] - cp, axis=-1)           # (..., P)
+    w = area / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))
+    tot = jnp.sum(w, -1)
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.categorical(k1, jnp.log(jnp.maximum(w, 1e-30)),
+                                 axis=-1)
+    uv = jax.random.uniform(k2, idx.shape + (2,))
+    # uniform point in the triangle: sqrt-mapping barycentrics
+    su = jnp.sqrt(uv[..., 0:1])
+    b0 = 1.0 - su
+    b1 = su * (1.0 - uv[..., 1:2])
+    b2 = su * uv[..., 1:2]
+    pt = b0 * tri.va[idx] + b1 * tri.vb[idx] + b2 * tri.vc[idx]
+    ai = area[idx]
+    pdf = jnp.take_along_axis(w, idx[..., None], -1)[..., 0]
+    pdf = pdf / jnp.maximum(tot, 1e-30) / jnp.maximum(ai, 1e-20)
+    return pt, tri.n[idx], pdf
 
 
 def _advance(scene, greens, settings: WalkSettings, st: WalkState, draw,
