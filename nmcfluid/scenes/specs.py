@@ -72,6 +72,9 @@ class SceneSpec:
     # geometry hooks
     obstacle_center: Optional[Tuple[float, ...]] = None
     obstacle_radius: Optional[float] = None
+    # "y" marks an infinite axis-aligned cylinder: obstacle_center is
+    # then the (x, z) in-plane center (karman3d; ops/cylinder_modes.py)
+    obstacle_axis: Optional[str] = None
     _boundary_builder: Optional[Callable] = None
     _obstacle_sdf_builder: Optional[Callable] = None
     _source_builder: Optional[Callable] = None
@@ -332,6 +335,8 @@ SCENES = {
         num_hidden_layers=2, hidden_features=128, dt=0.05, n_timesteps=500,
         sample_resolution=128, wost_resolution=256, vis_resolution=80,
         vel_vis_resolution=100, bdry_eps=1e-2, karman_vel=0.5,
+        obstacle_center=(0.0, -0.8), obstacle_radius=0.1,
+        obstacle_axis="y",
         _boundary_builder=_cube_boundary, _source_builder=_karman3d_source,
         _obstacle_sdf_builder=_karman3d_sdf),
 }

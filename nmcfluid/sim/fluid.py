@@ -873,24 +873,38 @@ def _pressure_solve_spectral(fluid, div_grid, key, eps, t):
     if (scene.obstacle_center is not None
             and scene.obstacle_radius is not None
             and scene.absorption > 0.0):
+        # the reference's own pressure solves run on the bare box for
+        # every obstacle scene family these corrections cover (karman's
+        # circle is in its walk domain; the 3D scenes' wost.json
+        # boundary = cube.obj), so the 3D corrections are capability
+        # beyond parity
         if scene.dim == 2:
             from ..ops.circle_modes import (eval_circle_correction,
                                             fit_circle_correction)
-            fit_fn, eval_fn = fit_circle_correction, eval_circle_correction
-        else:
-            # 3D sphere obstacles (smoke_obs, karman3d): the reference's
-            # own pressure solve runs on the bare cube (examples/
-            # {smoke_obs,karman3d}/wost.json boundary = cube.obj), so
-            # this modal correction is a capability beyond parity
+            coeffs = fit_circle_correction(
+                g_grid, ss, scene.obstacle_center, scene.obstacle_radius,
+                scene.absorption)
+            q, grad_q = eval_circle_correction(
+                coeffs, pts, scene.obstacle_center, scene.obstacle_radius,
+                scene.absorption)
+        elif scene.obstacle_axis == "y":       # karman3d's cylinder
+            from ..ops.cylinder_modes import (eval_cylinder_correction,
+                                              fit_cylinder_correction)
+            coeffs = fit_cylinder_correction(
+                g_grid, ss, scene.obstacle_center, scene.obstacle_radius,
+                scene.absorption)
+            q, grad_q = eval_cylinder_correction(
+                coeffs, pts, ss, scene.obstacle_center,
+                scene.obstacle_radius, scene.absorption)
+        else:                                  # smoke_obs's sphere
             from ..ops.sphere_modes import (eval_sphere_correction,
                                             fit_sphere_correction)
-            fit_fn, eval_fn = fit_sphere_correction, eval_sphere_correction
-        coeffs = fit_fn(
-            g_grid, ss, scene.obstacle_center, scene.obstacle_radius,
-            scene.absorption)
-        q, grad_q = eval_fn(
-            coeffs, pts, scene.obstacle_center, scene.obstacle_radius,
-            scene.absorption)
+            coeffs = fit_sphere_correction(
+                g_grid, ss, scene.obstacle_center, scene.obstacle_radius,
+                scene.absorption)
+            q, grad_q = eval_sphere_correction(
+                coeffs, pts, scene.obstacle_center, scene.obstacle_radius,
+                scene.absorption)
         p = p + q
         grad_p = grad_p + grad_q
     dist = fluid.q.distance(scene.boundary, pts)
