@@ -113,6 +113,12 @@ def build_parser():
     p.add_argument("--grad_clip", type=float, default=-1.0,
                    help="global-l2 gradient clip for the phase fits, "
                         "<=0 off (config.py --grad_clip)")
+    p.add_argument("--vis_frequency", type=int, default=0,
+                   help="record the minibatch loss every N fit "
+                        "iterations and write per-phase loss_*.txt "
+                        "traces under txt/ (the reference's "
+                        "--vis_frequency intra-training introspection, "
+                        "config.py:102; 0 = off; forces the XLA fit)")
     p.add_argument("--adv_ref", type=int, default=0)
     p.add_argument("--lr_schedule", default="constant",
                    choices=["constant", "cosine", "tail"])
@@ -262,6 +268,7 @@ def make_fluid(args):
                        ls_head=args.ls_head,
                        fit_mode=args.fit_mode,
                        fit_pool=args.fit_pool,
+                       loss_trace=args.vis_frequency,
                        mesh=mesh)
 
 
@@ -513,6 +520,13 @@ def main(argv=None):
             print("  stages: " + "  ".join(
                 f"{k}={v:.1f}s" for k, v in fluid.stage_times.items()))
         save_ckpt(model_dir, state.params, t)
+        if args.vis_frequency and isinstance(fluid._last_stats, tuple):
+            for name, st in zip(("advect", "project", "advect2",
+                                 "project2"), fluid._last_stats):
+                if st.trace is not None:
+                    np.savetxt(os.path.join(
+                        dirs["txt"], f"loss_{name}_t{t:03d}.txt"),
+                        np.asarray(st.trace))
         if args.draw:
             draw_frame(fluid, state, dirs, t)
             dump_pressure_debug(fluid, dirs, t)

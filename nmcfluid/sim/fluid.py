@@ -53,6 +53,11 @@ class SimState(NamedTuple):
 class FitStats(NamedTuple):
     iters: jax.Array
     loss: jax.Array
+    # minibatch-loss snapshots every `loss_trace` iterations (the
+    # reference's --vis_frequency training-introspection cadence,
+    # config.py:102 — defined there but consumed nowhere; here it is a
+    # real surface). None unless NeuralFluid(loss_trace=N) is set.
+    trace: jax.Array = None
 
 
 class NeuralFluid:
@@ -78,6 +83,7 @@ class NeuralFluid:
                  ls_head: int = 8,
                  fit_mode: str = "auto",
                  fit_pool: int = 512,
+                 loss_trace: int = 0,
                  mesh=None):
         """projection: 'wost' (the reference's Monte Carlo pressure solve)
         or 'spectral' (deterministic DCT grid solve on the divergence grid
@@ -169,6 +175,9 @@ class NeuralFluid:
                         else "xla")
         self.fit_mode = fit_mode
         self.fit_pool = fit_pool
+        # loss_trace > 0: record the minibatch loss every loss_trace
+        # iterations of every phase fit (runs the XLA fit path)
+        self.loss_trace = loss_trace
         self.mesh = mesh
         self.max_n_iters = max_n_iters or scene.max_n_iters
         self.sample_resolution = sample_resolution or scene.sample_resolution
@@ -450,11 +459,14 @@ def _adam_fit(fluid, params0, key, batch_fn):
     p_decay = 1.0 - 2.0 / max(2, plateau)
     p_rel = 5e-3
 
+    trace_every = fluid.loss_trace if plateau == 0 else 0
+    n_snap = (-(-fluid.max_n_iters // trace_every)) if trace_every else 0
+
     def cond(carry):
         if plateau > 0:
             i, _, _, _, loss, _, _, stop = carry
             return ((i < fluid.max_n_iters) & (loss > tol) & (stop == 0))
-        i, _, _, _, loss = carry
+        i, params, ema, opt_state, loss = carry[:5]
         return (i < fluid.max_n_iters) & (loss > tol)
 
     def one_iter(carry):
@@ -466,7 +478,7 @@ def _adam_fit(fluid, params0, key, batch_fn):
              ema_loss, ref_ema, stop) = carry
             live = ((i < fluid.max_n_iters) & (loss > tol) & (stop == 0))
         else:
-            i, params, ema, opt_state, loss = carry
+            i, params, ema, opt_state, loss = carry[:5]
             live = (i < fluid.max_n_iters) & (loss > tol)
         kb = jax.random.fold_in(key, i)
         x, target, w = batch_fn.batch(kb)
@@ -488,6 +500,11 @@ def _adam_fit(fluid, params0, key, batch_fn):
         out = (i + live.astype(jnp.int32), sel(new_params, params),
                sel(new_ema, ema), sel(new_opt, opt_state),
                jnp.where(live, new_loss, loss))
+        if trace_every:
+            tr = carry[5]
+            snap = live & (i % trace_every == 0)
+            tr = jnp.where(snap, tr.at[i // trace_every].set(new_loss), tr)
+            out = out + (tr,)
         if plateau > 0:
             new_ema_loss = jnp.where(i == 0, new_loss,
                                      p_decay * ema_loss
@@ -511,6 +528,8 @@ def _adam_fit(fluid, params0, key, batch_fn):
         return carry
 
     init = (jnp.int32(0), params0, params0, opt_state, jnp.float32(jnp.inf))
+    if trace_every:
+        init = init + (jnp.zeros((n_snap,), jnp.float32),)
     if plateau > 0:
         init = init + (jnp.float32(jnp.inf), jnp.float32(jnp.inf),
                        jnp.int32(0))
@@ -519,7 +538,8 @@ def _adam_fit(fluid, params0, key, batch_fn):
     out = ema if gamma > 0.0 else params
     if fluid.ls_head > 0:
         out = _ls_head_solve(fluid, out, key, batch_fn)
-    return out, FitStats(iters=i, loss=loss)
+    trace = carry[5] if trace_every else None
+    return out, FitStats(iters=i, loss=loss, trace=trace)
 
 
 def _fused_supported(fluid):
@@ -527,7 +547,8 @@ def _fused_supported(fluid):
 
     Falls back to the XLA while_loop when a knob the kernel does not
     implement is active: parameter EMA, plateau early-stop, gradient
-    clipping, or a non-sine nonlinearity.
+    clipping, loss tracing (--vis_frequency), or a non-sine
+    nonlinearity.
 
     Under a device mesh the kernel runs REPLICATED (round 4; round 3
     fell back to the XLA loop, costing sharded runs the 3-20x fit
@@ -544,7 +565,7 @@ def _fused_supported(fluid):
     10s of us of latency per iteration — a >= 1x overhead for a <= 2x
     saving. The walk and pressure stages remain sharded."""
     return (fluid.param_ema == 0.0 and fluid.fit_plateau == 0
-            and fluid.grad_clip <= 0.0
+            and fluid.grad_clip <= 0.0 and fluid.loss_trace == 0
             and fluid.siren_cfg.nonlinearity == "sine")
 
 

@@ -312,3 +312,30 @@ def test_until_bounds_resume_at_absolute_step(tmp_path):
     # already there: no-op
     run_mod.main(args + ["--ckpt", "3", "--until", "3"])
     assert sorted(os.listdir(model_dir))[-1] == "ckpt_step_t003.npz"
+
+
+def test_loss_trace_records_fit_snapshots():
+    """--vis_frequency / NeuralFluid(loss_trace=N): FitStats.trace holds
+    the minibatch loss every N iterations (the reference's config.py:102
+    knob, consumed nowhere there — a real surface here)."""
+    import dataclasses
+    from nmcfluid.scenes import get_scene
+    from nmcfluid.sim import NeuralFluid
+    from nmcfluid.sim.fluid import _fit_source, _fused_supported
+    from nmcfluid.wost.solver import WalkSettings
+
+    scene = dataclasses.replace(get_scene("taylorgreen"), max_n_iters=40)
+    fluid = NeuralFluid(scene, sample_resolution=8, wost_resolution=8,
+                        div_resolution=16, ls_head=0, loss_trace=10,
+                        walk_settings=WalkSettings(n_walks=4,
+                                                   walk_step_cap=4))
+    assert not _fused_supported(fluid)   # tracing runs the XLA fit
+    st = fluid.init_state(0)
+    params, stats = _fit_source(fluid, st.params, jax.random.PRNGKey(0),
+                                st.eps, st.timestep)
+    tr = np.asarray(stats.trace)
+    assert tr.shape == (4,)
+    assert np.all(np.isfinite(tr)) and np.all(tr > 0)
+    # snapshots are distinct recordings, not a broadcast of one value
+    # (per-batch noise at a 40-iter budget precludes monotonicity)
+    assert len(np.unique(tr)) == 4
