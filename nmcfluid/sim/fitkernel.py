@@ -84,6 +84,15 @@ _KERNEL_PRECISION = (jax.lax.Precision.DEFAULT
                      if _PRECISION == jax.lax.Precision.DEFAULT
                      else jax.lax.Precision.HIGHEST)
 _WANT_3PASS = _PRECISION == jax.lax.Precision.HIGH
+# Backward dots run single-pass bf16 BY DEFAULT (round 4): gradient
+# noise is far above bf16 rounding under Adam's sign-like normalization,
+# while the forward keeps the 3-pass emulation (activations feed the
+# loss directly). Gated on the TG 50-frame curve: 3.4597e-4 vs 3.4553e-4
+# all-HIGH (statistically identical, both under the published 4.142e-4),
+# at 0.038 vs 0.0464 ms/iter (error_bem_bwd_r4.txt). Opt out with
+# NMCFLUID_FUSED_BWD_PREC=high.
+_BWD_DEFAULT = os.environ.get("NMCFLUID_FUSED_BWD_PREC",
+                              "default") == "default"
 
 
 def _dot1(a, b, dims, precision):
@@ -167,6 +176,9 @@ def _kernel(cfg, n_iters, K, T,
     # test_sincos_poly_accuracy and the TG error gate on hardware.
     _dot = _dot3 if (compiled and _WANT_3PASS) else (
         lambda a, b, dims: _dot1(a, b, dims, _KERNEL_PRECISION))
+    _dot_b = (lambda a, b, dims: _dot1(a, b, dims,
+                                       jax.lax.Precision.DEFAULT)) \
+        if (compiled and _BWD_DEFAULT) else _dot
     _sincos = _sincos_poly if compiled else (
         lambda t: (jnp.sin(t), jnp.cos(t)))
     i = pl.program_id(0)
@@ -234,17 +246,17 @@ def _kernel(cfg, n_iters, K, T,
 
     # ---------------- backward
     # head: raw = w_out^T h + b_out
-    gw_out[:] += _dot(h, g_raw, ((1,), (1,)))                # (H, D_out)
+    gw_out[:] += _dot_b(h, g_raw, ((1,), (1,)))              # (H, D_out)
     gb_out[:] += jnp.sum(g_raw, axis=1, keepdims=True)       # (D_out, 1)
-    g_h = _dot(w_out[:], g_raw, ((1,), (0,)))                # (H, Bt)
+    g_h = _dot_b(w_out[:], g_raw, ((1,), (0,)))              # (H, Bt)
     for l in range(Lh - 1, -1, -1):
         g_z = g_h * (OMEGA_0 * cs[l + 1])
         h_in = hs[l]
-        gw_hid[l] += _dot(h_in, g_z, ((1,), (1,)))
+        gw_hid[l] += _dot_b(h_in, g_z, ((1,), (1,)))
         gb_hid[l] += jnp.sum(g_z, axis=1, keepdims=True)
-        g_h = _dot(w_hid[l], g_z, ((1,), (0,)))
+        g_h = _dot_b(w_hid[l], g_z, ((1,), (0,)))
     g_z = g_h * (OMEGA_0 * cs[0])
-    gw_first[:] += _dot(x, g_z, ((1,), (1,)))                # (D_in, H)
+    gw_first[:] += _dot_b(x, g_z, ((1,), (1,)))              # (D_in, H)
     gb_first[:] += jnp.sum(g_z, axis=1, keepdims=True)
 
     # ---------------- Adam update on the last tile
