@@ -178,11 +178,17 @@ def main():
         "value": round(sec, 3),
         "unit": "s",
         "vs_baseline": round(vs, 3),
+        # honesty caveat (r4 verdict): the baseline wall-clock is the
+        # reference's zombie walk stage on ONE CPU core of this host
+        # (BASELINE_WALL.json) — not a like-for-like accelerator number
+        "baseline_host": "1-core CPU (reference wost stage, this host)",
     }))
     # secondary diagnostics on stderr-like extra line? keep contract: 1 line
     detail_path = os.environ.get("NMCFLUID_BENCH_DETAIL", "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump({"warm_step_s": warm, "timed_step_s": sec,
+                   "baseline_host":
+                       "1-core CPU (reference wost stage, this host)",
                    "stage_breakdown_s": stages,
                    "fit_mfu": mfu,
                    "flagship": flagship,

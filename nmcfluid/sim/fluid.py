@@ -459,27 +459,28 @@ def _adam_fit(fluid, params0, key, batch_fn):
     p_decay = 1.0 - 2.0 / max(2, plateau)
     p_rel = 5e-3
 
-    trace_every = fluid.loss_trace if plateau == 0 else 0
+    # trace and plateau compose (round 5; ADVICE r4 flagged the silent
+    # disable): the carry is [5 base] + [trace if on] + [3 plateau if on],
+    # with the plateau fields indexed from the back
+    trace_every = fluid.loss_trace
     n_snap = (-(-fluid.max_n_iters // trace_every)) if trace_every else 0
 
     def cond(carry):
+        i, _, _, _, loss = carry[:5]
+        alive = (i < fluid.max_n_iters) & (loss > tol)
         if plateau > 0:
-            i, _, _, _, loss, _, _, stop = carry
-            return ((i < fluid.max_n_iters) & (loss > tol) & (stop == 0))
-        i, params, ema, opt_state, loss = carry[:5]
-        return (i < fluid.max_n_iters) & (loss > tol)
+            alive = alive & (carry[-1] == 0)
+        return alive
 
     def one_iter(carry):
         """One guarded Adam step: a no-op once the early-stop or the iter
         cap has fired, so unrolled trips reproduce the U=1 sequence
         exactly (the tail trip just burns a few predicated iterations)."""
+        i, params, ema, opt_state, loss = carry[:5]
+        live = (i < fluid.max_n_iters) & (loss > tol)
         if plateau > 0:
-            (i, params, ema, opt_state, loss,
-             ema_loss, ref_ema, stop) = carry
-            live = ((i < fluid.max_n_iters) & (loss > tol) & (stop == 0))
-        else:
-            i, params, ema, opt_state, loss = carry[:5]
-            live = (i < fluid.max_n_iters) & (loss > tol)
+            ema_loss, ref_ema, stop = carry[-3:]
+            live = live & (stop == 0)
         kb = jax.random.fold_in(key, i)
         x, target, w = batch_fn.batch(kb)
         new_loss, grads = jax.value_and_grad(loss_fn)(params, x, target, w)

@@ -229,13 +229,28 @@ def _dirichlet_dist(scene, x):
     return q.distance(scene.dirichlet, x)
 
 
-def _sample_neumann_boundary(scene, x, radius, key):
+def _categorical_u(w, u):
+    """Inverse-CDF categorical pick over the last axis of nonnegative
+    weights `w` from ONE uniform per lane — the counter-based-RNG
+    replacement for jax.random.categorical, usable by both executors
+    (the pool has no per-step threefry key; its draws come from
+    (lane, step)-keyed PCG streams, see wost/pool.py)."""
+    cdf = jnp.cumsum(w, axis=-1)
+    tot = cdf[..., -1:]
+    idx = jnp.sum((cdf < u[..., None] * tot).astype(jnp.int32), axis=-1)
+    return jnp.clip(idx, 0, w.shape[-1] - 1)
+
+
+def _sample_neumann_boundary(scene, x, u_sel, u_pt):
     """Single-sample Neumann boundary pick, |G|-length-weighted.
 
     Brute-force equivalent of FCPW's stochastic BVH traversal
     (fcpw_scene_loader.h:599-620) with the traversal weight of
     demo/scene.h:157-160: per-segment weight = |G3D(max(d, 1e-2))| * length,
-    pdf reported w.r.t. the boundary measure."""
+    pdf reported w.r.t. the boundary measure. `u_sel` (lanes,) picks the
+    element, `u_pt` (lanes, 2) places the point on it (first column only
+    in 2D) — plain uniforms, so the per-step `draw` streams of either
+    executor feed it."""
     soup: Seg2D = scene.neumann
     if scene.dim == 2:
         a, b = soup.a, soup.b
@@ -249,10 +264,8 @@ def _sample_neumann_boundary(scene, x, radius, key):
         w = ln / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))
         w = jnp.where(ln > 1e-12, w, 0.0)
         tot = jnp.sum(w, -1)
-        k1, k2 = jax.random.split(key)
-        idx = jax.random.categorical(k1, jnp.log(jnp.maximum(w, 1e-30)),
-                                     axis=-1)
-        u = jax.random.uniform(k2, idx.shape)
+        idx = _categorical_u(w, u_sel)
+        u = u_pt[..., 0]
         pa, pb = soup.a[idx], soup.b[idx]
         pt = pa + u[..., None] * (pb - pa)
         li = ln[idx]
@@ -272,10 +285,8 @@ def _sample_neumann_boundary(scene, x, radius, key):
     d = jnp.linalg.norm(x[..., None, :] - cp, axis=-1)           # (..., P)
     w = area / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))
     tot = jnp.sum(w, -1)
-    k1, k2 = jax.random.split(key)
-    idx = jax.random.categorical(k1, jnp.log(jnp.maximum(w, 1e-30)),
-                                 axis=-1)
-    uv = jax.random.uniform(k2, idx.shape + (2,))
+    idx = _categorical_u(w, u_sel)
+    uv = u_pt
     # uniform point in the triangle: sqrt-mapping barycentrics
     su = jnp.sqrt(uv[..., 0:1])
     b0 = 1.0 - su
@@ -289,7 +300,7 @@ def _sample_neumann_boundary(scene, x, radius, key):
 
 
 def _advance(scene, greens, settings: WalkSettings, st: WalkState, draw,
-             source_args=(), step_cap=None, key_step=None):
+             source_args=(), step_cap=None):
     """One walk step for every ACTIVE lane — the loop body of walk()
     (walk_on_stars.h:135-329). Shared by the lockstep while_loop (_walk)
     and the compacted pool executor (wost/pool.py).
@@ -298,8 +309,7 @@ def _advance(scene, greens, settings: WalkSettings, st: WalkState, draw,
     (lockstep: loop counter + lane iota; pool: per-lane step counter +
     pair-lane id, so antithetic halves share streams regardless of when
     each half is scheduled). `step_cap` overrides max_walk_length as the
-    DROP_MAXLEN threshold (the pool's per-walk cap). `key_step` is only
-    needed for nonzero Neumann boundary data."""
+    DROP_MAXLEN threshold (the pool's per-walk cap)."""
     q = scene.qmod()
     D = scene.dim
     rr = settings.russian_roulette_threshold
@@ -351,7 +361,13 @@ def _advance(scene, greens, settings: WalkSettings, st: WalkState, draw,
         # next step's start — nothing reads the normal in between)
         front = jnp.sum(d * hit_n, axis=-1) < 0.0
         hit_n = jnp.where((hit & front)[..., None], -hit_n, hit_n)
-        new_flipped = jnp.where(hit, hit & front, st.flipped)
+        # per-step reset (walk_on_stars.h:152-159 reinitialises
+        # flipNormalOrientation to false at every step top): the flag is
+        # True only when THIS step hit the boundary through its front
+        # face — an arc step clears it. Keeping the stale value (pre-r5
+        # bug, ADVICE r4) fed a wrong aligned=True to neumann_ds_fn on
+        # interior steps after a front-face hit.
+        new_flipped = hit & front
     new_n = jnp.where(hit[..., None], hit_n, st.n)
 
     acc = st.acc
@@ -360,8 +376,9 @@ def _advance(scene, greens, settings: WalkSettings, st: WalkState, draw,
                       and scene.neumann_ds_fn is not None)
     if (scene.neumann_fn is not None or use_ds_neumann) \
             and not settings.ignore_neumann:
-        kb = jax.random.fold_in(key_step, 1)
-        bpt, bn, bpdf = _sample_neumann_boundary(scene, st.x, R, kb)
+        u_sel = draw(6, R.shape)
+        u_pt = jnp.stack([draw(7, R.shape), draw(8, R.shape)], axis=-1)
+        bpt, bn, bpdf = _sample_neumann_boundary(scene, st.x, u_sel, u_pt)
         bdist = jnp.linalg.norm(bpt - st.x, axis=-1)
         alpha = jnp.where(st.on_neumann, 2.0, 1.0)
         vis = q.has_line_of_sight(soup, o_eff, bpt)
@@ -458,20 +475,20 @@ def _walk(scene, greens, settings: WalkSettings, state: WalkState,
 
     def body(carry):
         it, st = carry
-        kstep = jax.random.fold_in(key, it)
 
         if settings.fast_rng:
             def draw(salt, shape):
                 return jnp.broadcast_to(
                     fastrand.uniform(seed, it, salt, lanes), shape)
         else:
+            kstep = jax.random.fold_in(key, it)
+
             def draw(salt, shape):
                 return jnp.broadcast_to(
                     jax.random.uniform(jax.random.fold_in(kstep, salt + 16),
                                        rand_shape), shape)
 
-        st2 = _advance(scene, greens, settings, st, draw, source_args,
-                       key_step=kstep)
+        st2 = _advance(scene, greens, settings, st, draw, source_args)
         return it + 1, st2
 
     _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
@@ -568,14 +585,12 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     With settings.algo == "pool" (the default) the walks are instead
     executed by the compacted walker pool (wost/pool.py) — same
     estimator math, wall-clock proportional to total walk length rather
-    than pairs x max length. Falls back to lockstep for the threefry
-    RNG or nonzero Neumann data, which the pool does not support.
+    than pairs x max length. Falls back to lockstep ONLY for the
+    threefry RNG (fast_rng=False): the pool's draws are counter-based
+    by construction. Nonzero Neumann data runs in the pool since the
+    boundary pick consumes plain per-step uniforms (round 5).
     """
-    has_neumann_data = (scene.neumann_fn is not None
-                        or (settings.solve_double_sided
-                            and scene.neumann_ds_fn is not None))
-    if (settings.algo == "pool" and settings.fast_rng
-            and (not has_neumann_data or settings.ignore_neumann)):
+    if settings.algo == "pool" and settings.fast_rng:
         from . import pool
         return pool.estimate_solution_and_gradient_pool(
             scene, settings, pts, key, n_walks=n_walks,

@@ -169,6 +169,109 @@ def circle_scene():
                      dirichlet_ds_fn=g_ds)
 
 
+def test_flipped_resets_every_step():
+    """The double-sided normal-flip flag is PER-STEP state: the reference
+    reinitialises flipNormalOrientation to false at every step top
+    (walk_on_stars.h:152-159) and only re-raises it when the walker sits
+    on the Neumann boundary after a front-face arrival. A lane that
+    arc-steps into the interior must therefore come out with
+    flipped=False — the round-4 advisor found the old code carrying the
+    stale True into later steps' neumann_ds_fn aligned flags."""
+    from nmcfluid.geometry.soup2d import box_loop
+    from nmcfluid.wost.solver import _advance, _fresh_state
+
+    soup = build_segments([box_loop(0.0, L, 0.0, L, n_per_side=2)],
+                          double_sided=True)
+    scene = WostScene(dim=2, neumann=soup,
+                      source_fn=lambda x: jnp.zeros(x.shape[:-1]),
+                      absorption=SIG)
+    settings = WalkSettings(solve_double_sided=True)
+    # deep-interior lane with a small first radius: the step CANNOT hit
+    x = jnp.asarray([[1.0, 1.0]], jnp.float32)
+    st = _fresh_state(x, flipped=jnp.ones((1,), bool),
+                      first_radius=jnp.full((1,), 0.05, jnp.float32))
+    draw = lambda salt, shape: jnp.full(shape, 0.37, jnp.float32)
+    st2 = _advance(scene, scene.greens(), settings, st, draw)
+    assert not bool(st2.flipped[0])
+    assert not bool(st2.on_neumann[0])
+
+
+# --------------------------- nonzero side-dependent barrier flux
+# Each strip's manufactured profile has NONZERO normal derivative at the
+# barrier, with near-opposite values on the two sides:
+#   p_L = CL2 cos(aL x)        h_L = dp_L/dn_out,L = dp_L/dx(M)  (n=+x)
+#   p_R = CR2 cos(aR (L-x))    h_R = -dp_R/dx(M)                 (n=-x)
+# The walk reads the data through neumann_ds_fn(x, aligned): aligned=True
+# iff the estimate runs on the side the barrier's geometric normal (+1,0)
+# points into — the right strip (walk_on_stars.h:221-253). Walls keep
+# h = 0 on both sides (their true flux: the strips are y-independent).
+
+CL2, CR2 = 1.0, 1.5
+AL, AR = 2.0, 3.0
+H_L = -CL2 * AL * math.sin(AL * M)            # dp_L/dx at M  (~ -2.0)
+H_R = -CR2 * AR * math.sin(AR * (L - M))      # -dp_R/dx at M, n_out = -x
+                                              # (~ +2.0: sin(3.6) < 0)
+
+
+def _p_true_flux(x):
+    xx = x[..., 0]
+    return jnp.where(xx < M, CL2 * jnp.cos(AL * xx),
+                     CR2 * jnp.cos(AR * (L - xx)))
+
+
+def _source_flux(x):
+    xx = x[..., 0]
+    fl = (SIG + AL ** 2) * CL2 * jnp.cos(AL * xx)
+    fr = (SIG + AR ** 2) * CR2 * jnp.cos(AR * (L - xx))
+    return jnp.where(xx < M, fl, fr)
+
+
+def _flux_scene(h_ds):
+    bottom = polyline_chain([(0.0, 0.0), (L, 0.0)])
+    top = polyline_chain([(L, L), (0.0, L)])
+    barrier = polyline_chain([(M, 0.0), (M, L)])
+    neumann = build_segments([bottom, top, barrier], double_sided=True)
+    left = polyline_chain([(0.0, L), (0.0, 0.0)])
+    right = polyline_chain([(L, 0.0), (L, L)])
+    dirichlet = build_segments([left, right])
+    return WostScene(dim=2, neumann=neumann, source_fn=_source_flux,
+                     absorption=SIG, dirichlet=dirichlet,
+                     dirichlet_fn=_p_true_flux, neumann_ds_fn=h_ds)
+
+
+@pytest.mark.parametrize("algo", ["pool", "lockstep"])
+def test_barrier_nonzero_flux_side_selected(algo):
+    """End-to-end nonzero Neumann data under double-sided BCs through
+    BOTH executors (the pool handles boundary data since round 5 — the
+    old silent lockstep fallback at solver.py is gone). Also proves the
+    aligned flag is load-bearing: feeding the right-strip flux to both
+    sides wrecks the left strip."""
+    def h_ds(x, aligned):
+        on_barrier = jnp.abs(x[..., 0] - M) < 1e-4
+        return jnp.where(on_barrier, jnp.where(aligned, H_R, H_L), 0.0)
+
+    scene = _flux_scene(h_ds)
+    pts = jnp.asarray([[0.45, 1.0], [0.6, 0.55], [1.05, 1.0], [1.5, 1.4]],
+                      jnp.float32)
+    settings = WalkSettings(walk_step_cap=256, ignore_dirichlet=False,
+                            ignore_neumann=False, solve_double_sided=True,
+                            algo=algo)
+    p, grad, n = estimate_solution_and_gradient(
+        scene, settings, pts, jax.random.PRNGKey(5), 4000)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(_p_true_flux(pts)),
+                               atol=0.12, err_msg=algo)
+    assert np.all(np.asarray(n) > 3000)
+
+    # aligned ignored -> the left strip reads h_R (+2.0) instead of
+    # h_L (-2.0): near-barrier left points shift by O(1)
+    wrong = _flux_scene(lambda x, aligned: jnp.where(
+        jnp.abs(x[..., 0] - M) < 1e-4, H_R, 0.0))
+    pw, _, _ = estimate_solution_and_gradient(
+        wrong, settings, pts, jax.random.PRNGKey(5), 4000)
+    gap = np.abs(np.asarray(pw - p))
+    assert float(gap[:2].max()) > 0.3, gap
+
+
 def test_circle_side_selected_dirichlet(circle_scene):
     pts = jnp.asarray([[1.0, 1.0], [1.2, 0.9],        # inside the disk
                        [0.4, 0.4], [1.0, 1.8]],       # outside

@@ -14,6 +14,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nmcfluid.geometry import (box_tris, build_segments, build_triangles)
 from nmcfluid.geometry.soup2d import box_loop
@@ -62,11 +63,14 @@ def test_walk_estimator_2d_nonzero_neumann():
     assert abs(float(p0[1]) - truth) > abs(float(p[1]) - truth)
 
 
-def test_walk_estimator_2d_neumann_gradient():
+@pytest.mark.parametrize("algo", ["pool", "lockstep"])
+def test_walk_estimator_2d_neumann_gradient(algo):
     scene, p_star = _scene_2d()
     pts = jnp.asarray([[1.2, 1.0], [0.7, 0.6]], jnp.float32)
-    settings = WalkSettings(walk_step_cap=96, ignore_neumann=False)
-    # nonzero Neumann data -> the pool declines; lockstep handles it
+    settings = WalkSettings(walk_step_cap=96, ignore_neumann=False,
+                            algo=algo)
+    # nonzero Neumann data runs in BOTH executors since round 5 (the
+    # |G|-weighted boundary pick consumes plain per-step uniforms)
     p, grad, n = estimate_solution_and_gradient(
         scene, settings, pts, jax.random.PRNGKey(1), 3000)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_star(pts)),
