@@ -57,7 +57,9 @@ def apply_boundary(scene, vel, x, *, eps, t=0, key=None):
         v_w = wall_ramp(x[..., 1], ss[2], ss[3], eps)
         return vel * jnp.stack([u_w, v_w], axis=-1)
 
-    if name == "karman":
+    if name in ("karman", "karman2cyl", "karman3cyl"):
+        # multi-cylinder variants share the karman policy: obstacle_sdf
+        # is the min over circles, so the sdf ramp pins every cylinder
         inlet = (x[..., 0] >= ss[0]) & (x[..., 0] <= ss[0] + eps)
         u = jnp.where(inlet, scene.karman_vel, vel[..., 0])
         vel = jnp.stack([u, vel[..., 1]], axis=-1)

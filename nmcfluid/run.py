@@ -480,7 +480,7 @@ def main(argv=None):
             draw_frame(fluid, state, dirs, 0)
 
     # karman halves the ramp width after fitting the IC (main.py:161-163)
-    if scene.name == "karman":
+    if scene.name in ("karman", "karman2cyl", "karman3cyl"):
         state = state._replace(eps=state.eps / 2)
 
     fluid.profile = bool(args.stage_times)

@@ -72,6 +72,11 @@ class SceneSpec:
     # geometry hooks
     obstacle_center: Optional[Tuple[float, ...]] = None
     obstacle_radius: Optional[float] = None
+    # multi-obstacle scenes (round 5): tuple of (cx, cy, r) circle
+    # obstacles — the reference ships 2- and 3-cylinder karman
+    # geometries (src/3d/wost/geometry_2cyl.obj, geometry_3cyl.obj)
+    # whose driver extracts interior loops generically (main.py:36-59)
+    obstacles: Optional[Tuple[Tuple[float, float, float], ...]] = None
     # "y" marks an infinite axis-aligned cylinder: obstacle_center is
     # then the (x, z) in-plane center (karman3d; ops/cylinder_modes.py)
     obstacle_axis: Optional[str] = None
@@ -263,6 +268,40 @@ def _karman_sdf(spec):
                       KARMAN_OBS_R + spec.boundary_distance_mask)
 
 
+# ---- multi-cylinder karman family (src/3d/wost/geometry_2cyl.obj /
+# geometry_3cyl.obj measured loops; the reference driver extracts
+# interior obstacle loops generically, src/2d/main.py:36-59). Dims below
+# are MEASURED from the reference assets — no OBJ files are copied.
+NCYL_BBOX = (-1.995, 1.9942, -0.995, 0.9942)
+CYL2_OBS = ((-1.0004, -0.0004, 0.1310), (-0.0004, -0.0004, 0.1312))
+CYL3_OBS = ((-1.0004, -0.0004, 0.1310), (-0.0004, 0.1496, 0.1310),
+            (-0.0004, -0.1504, 0.1310))
+
+
+def _ncyl_boundary(spec):
+    """Open channel + one exact circle per spec.obstacles entry."""
+    x0, x1, y0, y1 = spec.scene_size
+    corners = [(x0, y0), (x1, y0), (x0, y1), (x1, y1)]
+    return make_analytic2d((-FAR, y0), (FAR, y1),
+                           circles=list(spec.obstacles),
+                           sil_pts=corners,
+                           bbox=((x0, y0), (x1, y1)))
+
+
+def _ncyl_sdf(spec):
+    """min over circle SDFs, each grown by boundaryDistanceMask
+    (the reference grows its fitted circle the same way, main.py:96)."""
+    fns = [sdf.circle((cx, cy), r + spec.boundary_distance_mask)
+           for cx, cy, r in spec.obstacles]
+
+    def f(x):
+        d = fns[0](x)
+        for g in fns[1:]:
+            d = jnp.minimum(d, g(x))
+        return d
+    return f
+
+
 def _jpipe_sdf(spec):
     return sdf.jpipe_walls()
 
@@ -297,6 +336,25 @@ SCENES = {
         obstacle_center=KARMAN_OBS_C, obstacle_radius=KARMAN_OBS_R,
         _boundary_builder=_karman_boundary, _source_builder=_karman_source,
         _obstacle_sdf_builder=_karman_sdf),
+    # reference 2-/3-cylinder karman geometries (src/3d/wost/
+    # geometry_2cyl.obj, geometry_3cyl.obj, measured dims); hyperparams
+    # as karman, dt scaled with the ~1.3x longer channel
+    "karman2cyl": SceneSpec(
+        name="karman2cyl", dim=2, scene_size=NCYL_BBOX,
+        num_hidden_layers=2, hidden_features=128, dt=0.05, n_timesteps=200,
+        sample_resolution=128, wost_resolution=512, vis_resolution=1000,
+        vel_vis_resolution=200, bdry_eps=3e-2, karman_vel=0.5,
+        obstacles=CYL2_OBS,
+        _boundary_builder=_ncyl_boundary, _source_builder=_karman_source,
+        _obstacle_sdf_builder=_ncyl_sdf),
+    "karman3cyl": SceneSpec(
+        name="karman3cyl", dim=2, scene_size=NCYL_BBOX,
+        num_hidden_layers=2, hidden_features=128, dt=0.05, n_timesteps=200,
+        sample_resolution=128, wost_resolution=512, vis_resolution=1000,
+        vel_vis_resolution=200, bdry_eps=3e-2, karman_vel=0.5,
+        obstacles=CYL3_OBS,
+        _boundary_builder=_ncyl_boundary, _source_builder=_karman_source,
+        _obstacle_sdf_builder=_ncyl_sdf),
     # supported by src/2d (no shipped example dir); hyperparams as karman
     "jpipe": SceneSpec(
         name="jpipe", dim=2, scene_size=(0.0, 2.0, 0.0, 2.0),

@@ -120,13 +120,19 @@ def closed_loops(scene):
     xmin, xmax, ymin, ymax = ss[0], ss[1], ss[2], ss[3]
     loops = [np.asarray([(xmin, ymin), (xmax, ymin), (xmax, ymax),
                          (xmin, ymax)], np.float64)]
+    circ = []
     if scene.obstacle_center is not None and scene.obstacle_radius:
+        circ.append((*scene.obstacle_center, scene.obstacle_radius))
+    if getattr(scene, "obstacles", None):
+        # multi-obstacle scenes (karman2cyl/karman3cyl): one clockwise
+        # loop per circle — the Nystrom system is loop-agnostic
+        circ.extend(scene.obstacles)
+    for cx, cy, r in circ:
         # circle obstacle, clockwise (fluid outside). A dense polygon
         # stands in for the smooth circle (geometry error ~ r theta^2/2).
         t = -2.0 * np.pi * (np.arange(2048) + 0.5) / 2048
-        c, r = scene.obstacle_center, scene.obstacle_radius
-        loops.append(np.stack([c[0] + r * np.cos(t),
-                               c[1] + r * np.sin(t)], axis=1))
+        loops.append(np.stack([cx + r * np.cos(t),
+                               cy + r * np.sin(t)], axis=1))
     return loops
 
 
