@@ -150,6 +150,10 @@ def build_parser():
                         "'auto' (default) = fused on TPU, xla on CPU")
     p.add_argument("--fit_pool", type=int, default=512,
                    help="minibatch-pool size for --fit_mode fused")
+    p.add_argument("--fit_ensemble", type=int, default=1,
+                   help="average N independent phase fits (same warm "
+                        "start, disjoint batch streams): ~1/sqrt(N) of "
+                        "the per-fit Adam tracking noise at N x fit cost")
     p.add_argument("--fit_unroll", type=int, default=4,
                    help="Adam iterations per while-loop trip in the phase "
                         "fits (results identical for any value; >1 "
@@ -268,6 +272,7 @@ def make_fluid(args):
                        ls_head=args.ls_head,
                        fit_mode=args.fit_mode,
                        fit_pool=args.fit_pool,
+                       fit_ensemble=args.fit_ensemble,
                        loss_trace=args.vis_frequency,
                        mesh=mesh)
 

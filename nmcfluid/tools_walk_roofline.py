@@ -304,7 +304,7 @@ def main():
         res["e2e_derived"] = {
             "outer_trips_min": trips,
             "implied_ms_per_trip": round(t_e2e / trips * 1e3, 2),
-            "decomposed_ms_per_trip": round(trip_ms, 2),
+            "decomposed_ms_per_trip": round(t_trip * 1e3, 2),
             "useful_walk_steps_per_s_M": round(
                 W * 1.1 / t_e2e / 1e6, 1),   # mean walk len ~1.1 at sig=350
         }

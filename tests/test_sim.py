@@ -89,6 +89,51 @@ def test_fit_plateau_stops_floored_fit_keeps_converging_fit():
         int(converging._last_stats.iters)
 
 
+def test_fit_ensemble_averages_independent_fits():
+    """fit_ensemble=2: still fits the target, is NOT a no-op relative to
+    the single fit (different params), and the averaging contract holds
+    (ensemble == mean of the two folded-key single fits)."""
+    from nmcfluid.sim.fluid import _adam_fit, _adam_fit_single
+    fl1 = tiny_fluid(max_n_iters=800)
+    fl2 = tiny_fluid(max_n_iters=800, fit_ensemble=2)
+    st1 = fl1.add_source(fl1.init_state(0))
+    st2 = fl2.add_source(fl2.init_state(0))
+
+    pts = sampling.uniform_grid(fl2.scene.scene_size, 24)
+    want = np.asarray(fl2.scene.source_velocity(pts))
+    for st, fl in ((st1, fl1), (st2, fl2)):
+        u = np.asarray(fl.velocity(st.params, pts, eps=st.eps))
+        err = np.mean(np.sum((u - want) ** 2, -1))
+        assert err < 8e-2, err
+    l1 = jax.tree.leaves(st1.params)[0]
+    l2 = jax.tree.leaves(st2.params)[0]
+    assert float(jnp.max(jnp.abs(l1 - l2))) > 0.0
+
+    # direct contract: ensemble fit == mean of the two single fits
+    # (ls_head off: the trivial batch_fn below has no feature hook)
+    fl2 = tiny_fluid(max_n_iters=200, fit_ensemble=2, ls_head=0)
+    key = jax.random.PRNGKey(7)
+    params0 = st1.params
+
+    class B:   # trivial batch_fn: fit velocity toward zero on a cloud
+        def batch(self, k):
+            x = jax.random.uniform(k, (64, 2), minval=1.0, maxval=5.0)
+            return x, jnp.zeros((64, 2)), jnp.ones((64,))
+
+        def velocity(self, params, x):
+            return fl2.velocity(params, x, eps=st2.eps)
+
+    pe, _ = _adam_fit(fl2, params0, key, B())
+    pa, _ = _adam_fit_single(fl2, params0,
+                             jax.random.fold_in(key, 0x5EED + 0), B())
+    pb, _ = _adam_fit_single(fl2, params0,
+                             jax.random.fold_in(key, 0x5EED + 1), B())
+    want_p = jax.tree.map(lambda a, b: 0.5 * (a + b), pa, pb)
+    for u, v in zip(jax.tree.leaves(pe), jax.tree.leaves(want_p)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   atol=1e-6)
+
+
 def test_add_source_fits_with_tail_schedule():
     """lr_schedule='tail' (constant then 20% cosine tail) must fit at
     least as well as constant lr on the same budget."""
