@@ -100,10 +100,12 @@ def build_parser():
                    help="lockstep while-loop cap (pool mode caps at "
                         "--pool_step_cap instead)")
     p.add_argument("--walk_algo", default="pool",
-                   choices=["pool", "lockstep"],
+                   choices=["pool", "gen", "lockstep"],
                    help="WoSt gradient executor: compacted walker pool "
-                        "(cost ~ sum of walk lengths) or the round-1 "
-                        "lockstep pair loop")
+                        "(cost ~ sum of walk lengths), point-aligned "
+                        "generations (zero gathers/scatters — fastest "
+                        "on short-walk scenes like the sigma=350 box "
+                        "configs), or the round-1 lockstep pair loop")
     p.add_argument("--pool_step_cap", type=int, default=1024)
     p.add_argument("--adaptive_walks", type=float, default=0.0,
                    help="adaptive MC walk allocation (pool mode): kappa "
@@ -150,6 +152,13 @@ def build_parser():
                         "'auto' (default) = fused on TPU, xla on CPU")
     p.add_argument("--fit_pool", type=int, default=512,
                    help="minibatch-pool size for --fit_mode fused")
+    p.add_argument("--wost_source", default="grid",
+                   choices=["grid", "net"],
+                   help="walk source term: 'net' evaluates -div u from "
+                        "the network at the sampled point (MXU matmuls; "
+                        "no texel gather, no nearest-cell error); 'grid' "
+                        "is the reference's cached 1000^2 nearest-texel "
+                        "lookup")
     p.add_argument("--fit_ensemble", type=int, default=1,
                    help="average N independent phase fits (same warm "
                         "start, disjoint batch streams): ~1/sqrt(N) of "
@@ -273,6 +282,7 @@ def make_fluid(args):
                        fit_mode=args.fit_mode,
                        fit_pool=args.fit_pool,
                        fit_ensemble=args.fit_ensemble,
+                       wost_source=args.wost_source,
                        loss_trace=args.vis_frequency,
                        mesh=mesh)
 

@@ -85,6 +85,7 @@ class NeuralFluid:
                  fit_pool: int = 512,
                  fit_ensemble: int = 1,
                  loss_trace: int = 0,
+                 wost_source: str = "grid",
                  mesh=None):
         """projection: 'wost' (the reference's Monte Carlo pressure solve)
         or 'spectral' (deterministic DCT grid solve on the divergence grid
@@ -221,6 +222,29 @@ class NeuralFluid:
 
         self._wost_scene = WostScene(
             dim=scene.dim, neumann=scene.boundary, source_fn=source_lookup,
+            absorption=scene.absorption)
+        # wost_source="net": the walk's source term evaluates -div u at
+        # the sampled point DIRECTLY from the network (batched forward-
+        # mode Jacobian — dense MXU matmuls) instead of gathering a
+        # precomputed nearest-texel grid. The round-5 roofline
+        # (docs/walk_roofline_r5.json) measured the per-step div-grid
+        # gather at the XLA gather ceiling (126 M lanes/s), 83% of the
+        # advance step; the MXU eval removes it AND the nearest-cell
+        # discretization error. The reference's texel cache is
+        # demo/image.h:53-58 — an artifact of its CPU architecture, not
+        # of the estimator math.
+        self.wost_source = wost_source
+
+        def source_net(y, prev, eps, t):
+            def f(p):
+                return self.velocity(params=prev, x=p, eps=eps, t=t)
+            flat = y.reshape(-1, scene.dim)
+            jac = jax.vmap(jax.jacfwd(f))(flat)
+            div = jnp.trace(jac, axis1=-2, axis2=-1)
+            return -div.reshape(y.shape[:-1])
+
+        self._wost_scene_net = WostScene(
+            dim=scene.dim, neumann=scene.boundary, source_fn=source_net,
             absorption=scene.absorption)
         self._bbox_lo = jnp.asarray([ss[2 * i] for i in range(scene.dim)],
                                     jnp.float32)
@@ -390,9 +414,14 @@ class NeuralFluid:
                 "bvc_solve", _pressure_solve_bvc, self, self._bvc,
                 div_grid, k_wost)
         else:
+            if self.wost_source == "net":
+                wsc, sargs = self._wost_scene_net, (prev, state.eps,
+                                                    state.timestep)
+            else:
+                wsc, sargs = self._wost_scene, (div_grid,)
             chunks = [self._timed(
-                "wost_solve", _pressure_solve, self, div_grid,
-                jax.random.fold_in(k_wost, c), state.eps, state.timestep)
+                "wost_solve", _pressure_solve, self, wsc, sargs,
+                jax.random.fold_in(k_wost, c))
                 for c in range(self.n_pressure // self.wost_chunk)]
             pts, valid, p, grad_p = (jnp.concatenate(xs)
                                      for xs in zip(*chunks))
@@ -844,17 +873,17 @@ def _divergence_grid(fluid, prev, eps, t):
     return -div.reshape(pts.shape[:-1])
 
 
-def _pressure_solve(fluid, div_grid, key, eps, t):
+def _pressure_solve(fluid, wsc, source_args, key):
     """Pressure cloud + WoSt solution/gradient with the reference's
     boundary masking (grid.h:155-237): p and grad p are zeroed within
     boundaryDistanceMask of the Neumann boundary; grad p additionally
     outside the domain. NOT jitted as a whole: the estimator host-loops
-    over pair launches (see WalkSettings.pairs_per_launch)."""
+    over pair launches (see WalkSettings.pairs_per_launch). `wsc` is
+    the grid-source or net-source WostScene (see wost_source)."""
     k1, k2 = jax.random.split(key)
     pts, valid = _sample_pressure_cloud(fluid, k1)
     p, grad_p, n_valid = estimate_solution_and_gradient(
-        fluid._wost_scene, fluid.walk_settings, pts, k2,
-        source_args=(div_grid,))
+        wsc, fluid.walk_settings, pts, k2, source_args=source_args)
     return (pts, valid) + _mask_pressure(fluid, pts, valid, p, grad_p)
 
 

@@ -112,6 +112,9 @@ def main():
     ap.add_argument("--scene", default="taylorgreen")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip_e2e", action="store_true")
+    ap.add_argument("--wost_source", default="grid",
+                    choices=["grid", "net"])
+    ap.add_argument("--skip_micro", action="store_true")
     args = ap.parse_args()
 
     dev = str(jax.devices()[0])
@@ -119,10 +122,8 @@ def main():
     res = {"device": dev, "scene": args.scene}
 
     scene = get_scene(args.scene)
-    fluid = NeuralFluid(scene)
+    fluid = NeuralFluid(scene, wost_source=args.wost_source)
     ws = fluid.walk_settings
-    wscene = fluid._wost_scene
-    greens = wscene.greens()
     D = scene.dim
 
     N = fluid.wost_chunk
@@ -132,15 +133,25 @@ def main():
     W = n_pairs * n_anti * N
     key = jax.random.PRNGKey(0)
     pts, _ = sampling.fluid_points(key, N, scene)
-    div_grid = 0.1 * jnp.ones(
-        tuple([fluid.div_resolution] * D), jnp.float32)
+    if args.wost_source == "net":
+        wscene = fluid._wost_scene_net
+        params0 = fluid.init_state(0).params
+        src_args = (params0, jnp.float32(scene.bdry_eps), jnp.int32(0))
+    else:
+        wscene = fluid._wost_scene
+        src_args = (0.1 * jnp.ones(
+            tuple([fluid.div_resolution] * D), jnp.float32),)
+    res["wost_source"] = args.wost_source
+    greens = wscene.greens()
+    div_grid = src_args   # legacy name: the dynamic source args tuple
 
     res["config"] = {
         "N_points": N, "S_slots": S, "n_pairs": n_pairs,
         "W_queued_walks": W, "K_refill": ws.pool_refill_every,
         "segments_P": int(wscene.neumann.a.shape[0])
         if hasattr(wscene.neumann, "a") else None,
-        "div_grid_MB": round(div_grid.size * 4 / 1e6, 2),
+        "div_grid_MB": (round(div_grid[0].size * 4 / 1e6, 2)
+                        if args.wost_source == "grid" else None),
     }
     print("config:", res["config"])
 
@@ -152,7 +163,7 @@ def main():
     g_ids = jnp.arange(S, dtype=jnp.int32)
 
     def start(g):
-        return wp._start_states(wscene, ws, pd, seed2, g, (div_grid,),
+        return wp._start_states(wscene, ws, pd, seed2, g, div_grid,
                                 n_pairs, n_anti, N, None)
 
     st0, ok0, fs0, bv0, sv0 = jax.jit(start)(g_ids)
@@ -171,7 +182,7 @@ def main():
     def adv_step(settings):
         def f(st):
             return _advance(wscene, greens, settings, st,
-                            wp._make_draw(seed_w, st, pl0), (div_grid,),
+                            wp._make_draw(seed_w, st, pl0), div_grid,
                             step_cap=settings.pool_step_cap)
         return f
 
@@ -192,7 +203,7 @@ def main():
 
     def refill_step(carry):
         return wp._scatter_refill(wscene, ws, pd, seed2, jnp.int32(W), cv,
-                                  carry, (div_grid,), n_pairs, n_anti,
+                                  carry, div_grid, n_pairs, n_anti,
                                   N, None)
     st1 = jax.jit(adv_step(ws))(st0)
     carry1 = carry0._replace(st=st1)
@@ -210,7 +221,7 @@ def main():
         pl = (w2 * N + i2).astype(jnp.uint32)
         for _ in range(K):
             st = _advance(wscene, greens, ws, st,
-                          wp._make_draw(seed_w, st, pl), (div_grid,),
+                          wp._make_draw(seed_w, st, pl), div_grid,
                           step_cap=ws.pool_step_cap)
         return c._replace(st=st)
     t_trip = loop_time(trip_step, carry1, 16)
@@ -266,7 +277,7 @@ def main():
                   64) * 1e3, 3)
 
     def src_step(y):
-        v = wscene.source_fn(y, div_grid)
+        v = wscene.source_fn(y, *div_grid)
         return y + 1e-12 * v[..., None]
     micro["source_gather_ms"] = round(loop_time(src_step, x, 64) * 1e3, 3)
     res["micro_S_wide"] = micro
@@ -297,7 +308,7 @@ def main():
         from .wost.pool import estimate_solution_and_gradient_pool as e2e
 
         def run_chunk():
-            return e2e(wscene, ws, pts, key, source_args=(div_grid,))
+            return e2e(wscene, ws, pts, key, source_args=div_grid)
         t_e2e = timeit(run_chunk, n=3 if args.quick else 5, warm=1)
         res["e2e_chunk_s"] = round(t_e2e, 3)
         trips = int(np.ceil(W / S))

@@ -144,6 +144,23 @@ class WalkSettings:
     # with variance-heterogeneous, cheap-to-walk clouds.
     adaptive_walks: float = 0.0
     adaptive_rounds: int = 4
+    # ---- generation executor (wost/gen.py; algo="gen", round 5).
+    # Point-aligned lockstep generations of gen_group_pairs pairs: the
+    # lane->point map is a reshape (zero gathers/scatters — the pool's
+    # scatter/refill was 55% of the TG trip, walk_roofline_r5). Lanes
+    # still active at gen_step_cap are DROPPED from the statistics
+    # (reference maxWalkLength semantics); at sigma=350 the surviving
+    # fraction at 64 steps is ~0. Generations chain in-graph,
+    # gen_groups_per_launch per device program (dispatch-latency guard).
+    gen_group_pairs: int = 4
+    gen_step_cap: int = 64
+    gen_groups_per_launch: int = 16
+    # survivor compaction inside a generation: once <= S/gen_tail_div
+    # lanes are ACTIVE (after step 1: ~2% at sigma=350), steps run on a
+    # compacted static buffer — the full-width advance is dominated by
+    # the source eval over dead lanes. Streams are per-lane, so the
+    # compacted execution is bit-identical to full width.
+    gen_tail_div: int = 32
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # id-hash: stable jit cache key
@@ -593,6 +610,11 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     if settings.algo == "pool" and settings.fast_rng:
         from . import pool
         return pool.estimate_solution_and_gradient_pool(
+            scene, settings, pts, key, n_walks=n_walks,
+            mask_invalid=mask_invalid, source_args=source_args)
+    if settings.algo == "gen" and settings.fast_rng:
+        from . import gen
+        return gen.estimate_solution_and_gradient_gen(
             scene, settings, pts, key, n_walks=n_walks,
             mask_invalid=mask_invalid, source_args=source_args)
     n_walks_total = n_walks or settings.n_walks

@@ -32,11 +32,10 @@ def test_sharded_pressure_solve_matches_single_device():
     st = fl0.init_state(0)
     key = jax.random.PRNGKey(11)
     div0 = _divergence_grid(fl0, st.params, st.eps, st.timestep)
-    pts0, v0, p0, g0 = _pressure_solve(fl0, div0, key, st.eps, st.timestep)
+    pts0, v0, p0, g0 = _pressure_solve(fl0, fl0._wost_scene, (div0,), key)
     with fl8.mesh:
         div8 = _divergence_grid(fl8, st.params, st.eps, st.timestep)
-        pts8, v8, p8, g8 = _pressure_solve(fl8, div8, key, st.eps,
-                                           st.timestep)
+        pts8, v8, p8, g8 = _pressure_solve(fl8, fl8._wost_scene, (div8,), key)
     np.testing.assert_allclose(np.asarray(pts0), np.asarray(pts8), atol=0)
     np.testing.assert_allclose(np.asarray(p0), np.asarray(p8), rtol=2e-5,
                                atol=1e-5)
@@ -99,8 +98,8 @@ def test_sharded_solve_divides_points_across_devices():
     st = fl.init_state(0)
     with fl.mesh:
         div = _divergence_grid(fl, st.params, st.eps, st.timestep)
-        pts, valid, p, g = _pressure_solve(fl, div, jax.random.PRNGKey(0),
-                                           st.eps, st.timestep)
+        pts, valid, p, g = _pressure_solve(fl, fl._wost_scene, (div,),
+                                           jax.random.PRNGKey(0))
     n = pts.shape[0]
     assert n % n_dev == 0
     # `valid` is a tiny replicated bool mask; the heavy outputs must shard

@@ -89,6 +89,37 @@ def test_fit_plateau_stops_floored_fit_keeps_converging_fit():
         int(converging._last_stats.iters)
 
 
+def test_wost_source_net_matches_grid():
+    """wost_source='net' (exact network divergence at the sampled point,
+    MXU matmuls) must agree with the reference's nearest-texel grid
+    lookup up to the grid's own discretization error: same key => same
+    walk trajectories, only the source values differ."""
+    from nmcfluid.sim.fluid import _divergence_grid, _pressure_solve
+    fl = tiny_fluid(div_resolution=256,
+                    walk_settings=WalkSettings(n_walks=64,
+                                               walk_step_cap=16))
+    st = fl.init_state(0)
+    st = fl.add_source(st)
+    key = jax.random.PRNGKey(4)
+    div = _divergence_grid(fl, st.params, st.eps, st.timestep)
+    pts_g, _, p_g, g_g = _pressure_solve(fl, fl._wost_scene, (div,), key)
+    pts_n, _, p_n, g_n = _pressure_solve(
+        fl, fl._wost_scene_net, (st.params, st.eps, st.timestep), key)
+    np.testing.assert_allclose(np.asarray(pts_g), np.asarray(pts_n),
+                               atol=0)
+    # robust comparison: the per-point difference is a Green's-weighted
+    # single-sample of (exact - nearest-texel) source values, heavy-
+    # tailed at 64 walks — quantiles, not max
+    dp = np.abs(np.asarray(p_g - p_n))
+    scale = max(1e-6, float(np.abs(np.asarray(p_g)).max()))
+    assert float(np.percentile(dp, 95)) < 0.12 * scale, dp.max()
+    assert float(dp.mean()) < 0.03 * scale
+    dg = np.abs(np.asarray(g_g - g_n))
+    gscale = max(1e-6, float(np.abs(np.asarray(g_g)).max()))
+    assert float(np.percentile(dg, 95)) < 0.1 * gscale
+    assert float(dg.mean()) < 0.04 * gscale
+
+
 def test_fit_ensemble_averages_independent_fits():
     """fit_ensemble=2: still fits the target, is NOT a no-op relative to
     the single fit (different params), and the averaging contract holds

@@ -99,8 +99,7 @@ def test_spectral_projection_3d_matches_wost():
     # _pressure_solve splits its key (cloud <- k1, walks <- k2) while the
     # deterministic paths use theirs directly; align the clouds.
     k1, _ = jax.random.split(key)
-    pts_w, v_w, p_w, g_w = _pressure_solve(fl, div, key, st.eps,
-                                           st.timestep)
+    pts_w, v_w, p_w, g_w = _pressure_solve(fl, fl._wost_scene, (div,), key)
     pts_s, v_s, p_s, g_s = _pressure_solve_spectral(fl, div, k1, st.eps,
                                                     st.timestep)
     np.testing.assert_allclose(np.asarray(pts_w), np.asarray(pts_s), atol=0)
