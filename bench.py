@@ -60,9 +60,20 @@ def main():
     projection = os.environ.get("NMCFLUID_BENCH_PROJECTION", "wost")
 
     scene = get_scene(scene_name)
+    # NMCFLUID_BENCH_MESH=N: run the whole frame under an N-device
+    # points_mesh (r4 verdict #7: time the sharded program path on real
+    # hardware — previously it had only ever executed on the virtual
+    # CPU mesh). N=1 bounds the sharding overhead on the single chip.
+    mesh = None
+    mesh_n = int(os.environ.get("NMCFLUID_BENCH_MESH", "0"))
+    if mesh_n:
+        from nmcfluid.parallel import points_mesh
+        mesh = points_mesh(mesh_n)
+    walk_algo = os.environ.get("NMCFLUID_BENCH_ALGO", "pool")
     fluid = NeuralFluid(
         scene,
         projection=projection,
+        mesh=mesh,
         fit_plateau=int(os.environ.get("NMCFLUID_BENCH_PLATEAU", "0")),
         fit_unroll=int(os.environ.get("NMCFLUID_BENCH_UNROLL", "4")),
         max_n_iters=int(iters) if iters else scene.max_n_iters,
@@ -72,7 +83,7 @@ def main():
         div_resolution=None if scale == 1 else max(
             32, (1000 if scene.dim == 2 else scene.vis_resolution) // scale),
         walk_settings=scene.walk_settings(
-            n_walks=max(8, scene.n_walks // scale)))
+            n_walks=max(8, scene.n_walks // scale), algo=walk_algo))
 
     state = fluid.init_state(0)
     state = fluid.add_source(state)
@@ -194,6 +205,8 @@ def main():
                    "flagship": flagship,
                    "scene": scene_name, "projection": projection,
                    "scale": scale, "iters_cap": iters,
+                   "mesh_devices": mesh_n or None,
+                   "walk_algo": walk_algo,
                    "device": str(jax.devices()[0])}, f, indent=2)
 
 

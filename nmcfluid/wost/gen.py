@@ -141,49 +141,55 @@ def _gen_launch(scene: WostScene, settings: WalkSettings, n_pairs: int,
             return _advance(scene, greens, settings, st, draw,
                             source_args, step_cap=cap)
 
-        def full_step(st):
-            return adv(st, pl)
+        # ---- phase A: full-width lockstep while more lanes survive
+        # than the tail buffer holds (one step at sigma=350: 524k ->
+        # ~9k actives)
+        def n_act(st):
+            return jnp.sum((st.status == ACTIVE).astype(jnp.int32))
 
-        def tail_step(st):
-            """Advance only the surviving lanes, compacted into a
-            static S_tail buffer: after the first step only ~2% of
-            sigma=350 lanes are still ACTIVE, and the full-width
-            advance is dominated by the source eval over dead lanes
-            (walk_roofline_r5). Streams are keyed per-lane, so the
-            compacted execution is bit-identical to full width."""
-            flat = jax.tree.map(lambda a: a.reshape((S,) + a.shape[3:]),
-                                st)
-            active = flat.status == ACTIVE
-            rank = jnp.cumsum(active.astype(jnp.int32)) - 1
-            slot = jnp.where(active & (rank < S_tail), rank, S_tail)
-            tid = jnp.full((S_tail,), S, jnp.int32).at[slot].set(
-                jnp.arange(S, dtype=jnp.int32), mode="drop")
-            safe = jnp.minimum(tid, S - 1)
-            sub = jax.tree.map(lambda a: a[safe], flat)
-            # lanes past capacity (can't happen below the cond
-            # threshold) or padding slots: freeze by masking ACTIVE
-            issued = tid < S
-            sub = sub._replace(status=jnp.where(issued, sub.status, -9))
-            sub2 = adv(sub, pl.reshape(S)[safe])
-            merged = jax.tree.map(
-                lambda fa, sa: fa.at[jnp.where(issued, tid, S)].set(
-                    sa, mode="drop"), flat, sub2)
-            merged = merged._replace(status=jnp.where(
-                merged.status == -9, flat.status, merged.status))
-            return jax.tree.map(
-                lambda a: a.reshape((G, n_anti, N) + a.shape[1:]), merged)
-
-        def cond(c):
+        def condA(c):
             it, st = c
-            return (it < cap) & jnp.any(st.status == ACTIVE)
+            return (it < cap) & (n_act(st) > S_tail)
 
-        def body(c):
+        def bodyA(c):
             it, st = c
-            n_act = jnp.sum((st.status == ACTIVE).astype(jnp.int32))
-            st = jax.lax.cond(n_act <= S_tail, tail_step, full_step, st)
-            return it + 1, st
+            return it + 1, adv(st, pl)
 
-        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+        itA, st = jax.lax.while_loop(condA, bodyA, (jnp.int32(0), st))
+
+        # ---- phase B: compact the survivors ONCE into a detached
+        # static S_tail buffer, run the whole tail there (the full-
+        # width advance is dominated by the source eval over dead
+        # lanes, and per-step S-wide bookkeeping costs ~4 ms — round-5
+        # roofline), merge ONCE. Streams are keyed per-lane, so the
+        # compacted execution is bit-identical to full width.
+        flat = jax.tree.map(lambda a: a.reshape((S,) + a.shape[3:]), st)
+        active = flat.status == ACTIVE
+        rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+        slot = jnp.where(active & (rank < S_tail), rank, S_tail)
+        tid = jnp.full((S_tail,), S, jnp.int32).at[slot].set(
+            jnp.arange(S, dtype=jnp.int32), mode="drop")
+        safe = jnp.minimum(tid, S - 1)
+        sub = jax.tree.map(lambda a: a[safe], flat)
+        issued = tid < S
+        # padding slots: freeze by masking away from ACTIVE
+        sub = sub._replace(status=jnp.where(issued, sub.status, -9))
+        pl_sub = pl.reshape(S)[safe]
+
+        def condB(c):
+            it, sub = c
+            return (it < cap) & jnp.any(sub.status == ACTIVE)
+
+        def bodyB(c):
+            it, sub = c
+            return it + 1, adv(sub, pl_sub)
+
+        _, sub = jax.lax.while_loop(condB, bodyB, (itA, sub))
+        tgt = jnp.where(issued, tid, S)
+        flat = jax.tree.map(
+            lambda fa, sa: fa.at[tgt].set(sa, mode="drop"), flat, sub)
+        st = jax.tree.map(
+            lambda a: a.reshape((G, n_anti, N) + a.shape[1:]), flat)
         status = jnp.where(st.status == ACTIVE,
                            DROP_MAXLEN, st.status)
 
