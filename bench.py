@@ -69,7 +69,7 @@ def main():
     if mesh_n:
         from nmcfluid.parallel import points_mesh
         mesh = points_mesh(mesh_n)
-    walk_algo = os.environ.get("NMCFLUID_BENCH_ALGO", "pool")
+    walk_algo = os.environ.get("NMCFLUID_BENCH_ALGO", "gen")
     fluid = NeuralFluid(
         scene,
         projection=projection,

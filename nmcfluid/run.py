@@ -99,7 +99,7 @@ def build_parser():
     p.add_argument("--walk_step_cap", type=int, default=64,
                    help="lockstep while-loop cap (pool mode caps at "
                         "--pool_step_cap instead)")
-    p.add_argument("--walk_algo", default="pool",
+    p.add_argument("--walk_algo", default="gen",
                    choices=["pool", "gen", "lockstep"],
                    help="WoSt gradient executor: compacted walker pool "
                         "(cost ~ sum of walk lengths), point-aligned "
@@ -258,7 +258,7 @@ def make_fluid(args):
         from .parallel import points_mesh
         mesh = points_mesh(args.mesh)
     ws = None
-    if (args.n_walks or args.walk_step_cap != 64 or args.walk_algo != "pool"
+    if (args.n_walks or args.walk_step_cap != 64 or args.walk_algo != "gen"
             or args.pool_step_cap != 1024 or args.adaptive_walks > 0.0):
         ws = scene.walk_settings(n_walks=args.n_walks or scene.n_walks,
                                  walk_step_cap=args.walk_step_cap,

@@ -100,13 +100,15 @@ class WalkSettings:
     # per-step cost of the lockstep loop. Statistically validated
     # (tests/test_fastrand, analytic estimator tests run both ways).
     fast_rng: bool = True
-    # ---- pool-mode execution of the gradient estimator (wost/pool.py).
-    # The lockstep pair loop costs pairs x max-walk-length across ALL
-    # lanes; the pool draws walks from a global queue into a fixed slot
-    # array so cost tracks the SUM of walk lengths — the reference's
-    # per-point independent cost (walk_on_stars.h:91-104) with static
-    # shapes. "lockstep" keeps the round-1 pair-launch loop.
-    algo: str = "pool"
+    # ---- executor for the gradient estimator. "gen" (default, round
+    # 5): point-aligned generations with one-shot survivor compaction
+    # (wost/gen.py) — zero gathers/scatters in the steady path; measured
+    # 2.75x (TG) / 2.3x (karman) over the pool at identical estimates.
+    # "pool": compacted walker queue (wost/pool.py) — cost tracks the
+    # SUM of walk lengths, the reference's per-point independent cost
+    # (walk_on_stars.h:91-104) with static shapes; the round-2..4
+    # parity executor. "lockstep" keeps the round-1 pair-launch loop.
+    algo: str = "gen"
     pool_slots: int = 0            # 0 -> auto: min(8 * n_points, 2**20)
     # walk steps between scatter/refill. The refill is an S-wide
     # _start_states + scatter, comparable in cost to an advance step;
@@ -153,7 +155,7 @@ class WalkSettings:
     # fraction at 64 steps is ~0. Generations chain in-graph,
     # gen_groups_per_launch per device program (dispatch-latency guard).
     gen_group_pairs: int = 4
-    gen_step_cap: int = 64
+    gen_step_cap: int = 1024     # == pool_step_cap drop semantics
     gen_groups_per_launch: int = 16
     # survivor compaction inside a generation: once <= S/gen_tail_div
     # lanes are ACTIVE (after step 1: ~2% at sigma=350), steps run on a
