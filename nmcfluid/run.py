@@ -160,9 +160,10 @@ def build_parser():
                         "is the reference's cached 1000^2 nearest-texel "
                         "lookup")
     p.add_argument("--fit_ensemble", type=int, default=1,
-                   help="average N independent phase fits (same warm "
-                        "start, disjoint batch streams): ~1/sqrt(N) of "
-                        "the per-fit Adam tracking noise at N x fit cost")
+                   help="average N independent phase fits — MEASURED "
+                        "NEGATIVE at shipped fit lengths (trajectories "
+                        "decohere; see PARITY.md 'fit averaging'); "
+                        "kept for short-fit configurations")
     p.add_argument("--fit_unroll", type=int, default=4,
                    help="Adam iterations per while-loop trip in the phase "
                         "fits (results identical for any value; >1 "

@@ -179,13 +179,15 @@ class NeuralFluid:
         self.fit_pool = fit_pool
         # fit_ensemble > 1: run N independent phase fits (same start
         # params, disjoint minibatch streams) and average the resulting
-        # parameters. All fits start from the SAME warm start and move
-        # ~lr-sized distances, so they stay in one basin and the average
-        # cancels the per-fit Adam tracking noise ~1/sqrt(N) — the
-        # dominant error term once the projection is deterministic
-        # (oracle floor 3.6e-7 vs per-fit 3.46e-4, oracle_floor_r4.txt).
-        # Cost: N x fit time (~+0.33 s/frame per extra fit at the fused
-        # kernel). Reference anchor: the single fit of base.py:129-152.
+        # parameters. MEASURED NEGATIVE on TPU (round 5, PARITY.md "fit
+        # averaging"): at the shipped 10k-iter fits the trajectories
+        # decohere (||p1-p2||/||p|| ~ 5.5%) and the SIREN loss at the
+        # parameter midpoint is ~1.9x either endpoint (3-point probe);
+        # e2e the TG bem frame-1 error jumps 1.9e-5 -> 1.85e-3 and the
+        # 50-frame mean 3.4e-4 -> 2.05e-3 (error_bem_ens2_r5.txt). The
+        # knob ships default-off; the per-fit noise floor stands
+        # (oracle floor 3.6e-7, oracle_floor_r4.txt). Reference anchor:
+        # the single fit of base.py:129-152.
         self.fit_ensemble = max(1, int(fit_ensemble))
         # loss_trace > 0: record the minibatch loss every loss_trace
         # iterations of every phase fit (runs the XLA fit path)
