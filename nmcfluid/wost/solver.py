@@ -609,6 +609,14 @@ def estimate_solution_and_gradient(scene: WostScene, settings: WalkSettings,
     by construction. Nonzero Neumann data runs in the pool since the
     boundary pick consumes plain per-step uniforms (round 5).
     """
+    # adaptive walk allocation is a pool-scheduler feature: route there
+    # (the generation executor issues fixed pair counts by construction)
+    if (settings.algo in ("pool", "gen") and settings.fast_rng
+            and settings.adaptive_walks > 0.0):
+        from . import pool
+        return pool.estimate_solution_and_gradient_pool(
+            scene, settings, pts, key, n_walks=n_walks,
+            mask_invalid=mask_invalid, source_args=source_args)
     if settings.algo == "pool" and settings.fast_rng:
         from . import pool
         return pool.estimate_solution_and_gradient_pool(
